@@ -1,0 +1,172 @@
+"""Vectorized geometric predicates over the rings representation.
+
+Semantics mirror the reference's GEOS usage:
+
+- ``covers`` is boundary-inclusive ("covers", not "contains") — a zone whose
+  boundary touches its parent's boundary is still covered
+  (/root/reference/src/zone_ext.rs:236-277, comment at :244-246). Errors on
+  invalid geometry must yield ``False`` (zone_ext.rs:247-273) — callers wrap in
+  try/except.
+- ``contains_center`` is a point-in-polygon test of the other zone's center
+  (/root/reference/src/zone_ext.rs:279-284).
+
+Implementation is pure numpy (no GEOS in this environment): even-odd
+ray-casting with an explicit on-boundary check so boundary points count as
+covered. Polygon-covers-polygon is the standard "every vertex of B covered by
+A and no proper edge crossing between the boundaries" test — exact for the
+non-degenerate admin-boundary geometries this engine processes (nested and
+edge-sharing rectangles, voronoi cells, ring-assembled OSM boundaries); known
+not to handle a hole of A passing *between* B's vertices without crossing any
+B edge (impossible for closed rings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .wkb import MultiPolygon
+
+_EDGE_CHUNK = 1024
+
+
+class PreparedPolygon:
+    """Edge-array form of a MultiPolygon for repeated vectorized queries
+    (the analog of shapely's prepared geometry / the reference's cloned GEOS
+    geoms in /root/reference/src/additional_zones.rs:364-368)."""
+
+    __slots__ = ("x1", "y1", "x2", "y2", "bbox", "mpoly")
+
+    def __init__(self, mpoly: MultiPolygon):
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        for rings in mpoly:
+            for ring in rings:
+                xs1.append(ring[:-1, 0])
+                ys1.append(ring[:-1, 1])
+                xs2.append(ring[1:, 0])
+                ys2.append(ring[1:, 1])
+        if not xs1:
+            raise ValueError("empty multipolygon")
+        self.x1 = np.concatenate(xs1)
+        self.y1 = np.concatenate(ys1)
+        self.x2 = np.concatenate(xs2)
+        self.y2 = np.concatenate(ys2)
+        self.bbox = (
+            float(min(self.x1.min(), self.x2.min())),
+            float(min(self.y1.min(), self.y2.min())),
+            float(max(self.x1.max(), self.x2.max())),
+            float(max(self.y1.max(), self.y2.max())),
+        )
+        self.mpoly = mpoly
+
+    def covers_points(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        """Boundary-inclusive point-in-multipolygon, vectorized over points.
+
+        Even-odd crossing count (holes handled for free) with an explicit
+        on-segment test so boundary points return True (GEOS `covers`
+        semantics, /root/reference/src/zone_ext.rs:244-246).
+        """
+        return self.locate_points(px, py)[0]
+
+    def locate_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return ``(covered, on_boundary)`` boolean masks for the points."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        n = px.shape[0]
+        inside = np.zeros(n, dtype=bool)
+        boundary = np.zeros(n, dtype=bool)
+        minx, miny, maxx, maxy = self.bbox
+        in_bbox = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+        idx = np.nonzero(in_bbox)[0]
+        if idx.size == 0:
+            return inside, boundary
+        qx = px[idx]
+        qy = py[idx]
+        cross = np.zeros(idx.size, dtype=np.int64)
+        on_edge = np.zeros(idx.size, dtype=bool)
+        for s in range(0, self.x1.size, _EDGE_CHUNK):
+            ex1 = self.x1[s : s + _EDGE_CHUNK][:, None]
+            ey1 = self.y1[s : s + _EDGE_CHUNK][:, None]
+            ex2 = self.x2[s : s + _EDGE_CHUNK][:, None]
+            ey2 = self.y2[s : s + _EDGE_CHUNK][:, None]
+            # crossing test: edge straddles the horizontal line through qy
+            straddle = (ey1 > qy[None, :]) != (ey2 > qy[None, :])
+            # x of intersection of edge with that horizontal line
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (qy[None, :] - ey1) / (ey2 - ey1)
+                xi = ex1 + t * (ex2 - ex1)
+            cross += np.count_nonzero(straddle & (qx[None, :] < xi), axis=0)
+            # on-segment: collinear and within bbox of the edge
+            dx = ex2 - ex1
+            dy = ey2 - ey1
+            cp = dx * (qy[None, :] - ey1) - dy * (qx[None, :] - ex1)
+            within = (
+                (qx[None, :] >= np.minimum(ex1, ex2))
+                & (qx[None, :] <= np.maximum(ex1, ex2))
+                & (qy[None, :] >= np.minimum(ey1, ey2))
+                & (qy[None, :] <= np.maximum(ey1, ey2))
+            )
+            on_edge |= np.any((cp == 0.0) & within, axis=0)
+        inside[idx] = (cross % 2 == 1) | on_edge
+        boundary[idx] = on_edge
+        return inside, boundary
+
+
+def bbox_contains(outer: tuple, inner: tuple, eps: float = 0.0) -> bool:
+    return (
+        outer[0] <= inner[0] + eps
+        and outer[1] <= inner[1] + eps
+        and outer[2] >= inner[2] - eps
+        and outer[3] >= inner[3] - eps
+    )
+
+
+def bbox_intersects(a: tuple, b: tuple) -> bool:
+    return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
+
+
+def _proper_crossings(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
+    """True iff any edge of B *properly* crosses an edge of A (interiors
+    intersect transversally). Shared endpoints / collinear overlap do NOT
+    count — `covers` is boundary-inclusive."""
+    ax1, ay1, ax2, ay2 = prep_a.x1, prep_a.y1, prep_a.x2, prep_a.y2
+    for s in range(0, prep_b.x1.size, _EDGE_CHUNK):
+        bx1 = prep_b.x1[s : s + _EDGE_CHUNK][:, None]
+        by1 = prep_b.y1[s : s + _EDGE_CHUNK][:, None]
+        bx2 = prep_b.x2[s : s + _EDGE_CHUNK][:, None]
+        by2 = prep_b.y2[s : s + _EDGE_CHUNK][:, None]
+        # orientation of (a1,a2,b1) and (a1,a2,b2)
+        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+        # orientation of (b1,b2,a1) and (b1,b2,a2)
+        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+        proper = (
+            (np.sign(d1) * np.sign(d2) < 0)
+            & (np.sign(d3) * np.sign(d4) < 0)
+        )
+        if proper.any():
+            return True
+    return False
+
+
+def covers(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
+    """A covers B (boundary-inclusive), the reference's parent test
+    (/root/reference/src/zone_ext.rs:236-277 via GEOS covers).
+
+    Test: bbox(A) ⊇ bbox(B); every vertex of B inside-or-on A; no vertex of A
+    strictly inside B (catches a hole of A sitting in B's interior, which the
+    vertex test alone would miss); no proper edge crossing between the
+    boundaries.
+    """
+    if not bbox_contains(prep_a.bbox, prep_b.bbox):
+        return False
+    vx = np.concatenate([ring[:-1, 0] for rings in prep_b.mpoly for ring in rings])
+    vy = np.concatenate([ring[:-1, 1] for rings in prep_b.mpoly for ring in rings])
+    if not prep_a.covers_points(vx, vy).all():
+        return False
+    ax = np.concatenate([ring[:-1, 0] for rings in prep_a.mpoly for ring in rings])
+    ay = np.concatenate([ring[:-1, 1] for rings in prep_a.mpoly for ring in rings])
+    a_in_b, a_on_b = prep_b.locate_points(ax, ay)
+    if (a_in_b & ~a_on_b).any():
+        return False
+    return not _proper_crossings(prep_a, prep_b)
