@@ -73,7 +73,9 @@ def test_node_zone(zones_df):
     assert z["name"] == "Oldquarter"
     assert z["zone_type"] == "suburb"  # from the place tag (zone.rs:39-51)
     assert z["boundary_wkb"] is None
-    assert z["center_lon"] is None and np.isnan(z["minx"]) or z["minx"] is None
+    # center/bbox stay unset for base-scan node zones (only voronoi sets them)
+    assert z["center_lon"] is None or np.isnan(z["center_lon"])
+    assert z["minx"] is None or np.isnan(z["minx"])
     assert bool(z["is_generated"]) is True
 
 
