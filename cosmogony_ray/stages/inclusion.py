@@ -200,7 +200,10 @@ def find_inclusion_edges(
     """zones Dataset → inclusion edge Dataset (child, parent): parent's
     boundary covers child (/root/reference/src/hierarchy_builder.rs:76-95)."""
     cfg = cfg or EngineConfig()
-    boundary_zones = zones.filter(expr="boundary_wkb is not null")
+    boundary_zones = zones.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["boundary_wkb"])),
+        batch_format="pyarrow",
+    )
     lite = boundary_zones.select_columns(
         ["osm_id", "minx", "miny", "maxx", "maxy"]
     )

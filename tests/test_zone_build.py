@@ -4,16 +4,8 @@
 import numpy as np
 import pytest
 
-from cosmogony_ray.fixtures.synth import write_mini_lux
 from cosmogony_ray.sources.osm import read_osm_tables
 from cosmogony_ray.stages.zone_build import assemble_zones
-
-
-@pytest.fixture(scope="session")
-def mini_lux_dir(tmp_path_factory):
-    d = tmp_path_factory.mktemp("mini_lux")
-    write_mini_lux(str(d), n_docs=50)
-    return str(d)
 
 
 @pytest.fixture(scope="session")
