@@ -70,6 +70,8 @@ ZONE_SCHEMA = pa.schema(
         ("miny", pa.float64()),
         ("maxx", pa.float64()),
         ("maxy", pa.float64()),
+        ("area", pa.float64()),   # planar deg² — tie-break key only
+
         ("is_generated", pa.bool_()),
         ("country_code", pa.string()),
         ("parent", pa.string()),

@@ -1,0 +1,79 @@
+"""The flagship pipeline: OSM-shaped tables → fully-resolved zones Dataset.
+
+Mirrors ``build_cosmogony`` / ``create_ontology``
+(/root/reference/src/lib.rs:203-277) as a chain of Dataset → Dataset stages:
+
+  assemble (scan+construct) → inclusion cell join → typing (rules + country)
+  → hierarchy (smallest enclosing parent) → names → labels → cleanup → stats
+
+Materialization policy: the zones table (small side, 10²–10⁶ rows) is
+materialized once after assembly and once after typing because four stages
+fan out from each; the docs side (10¹² design point) never flows through this
+module. Broadcast maps (geometry WKB, country finder, zone meta, label map)
+are ``ray.put`` once per build (SURVEY §7.0/#7.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..sources.osm import read_osm_tables
+from ..stages.hierarchy import attach_parents, build_zone_meta, select_parents
+from ..stages.inclusion import broadcast_geometries, find_inclusion_edges
+from ..stages.labels import (
+    build_label_map,
+    clean_untagged_zones,
+    compute_labels,
+    compute_names,
+)
+from ..stages.stats import compute_stats
+from ..stages.typing import attach_ancestors, build_country_finder, type_zones
+from ..stages.zone_build import assemble_zones
+from ..state.rules import ZoneTyper
+
+
+@dataclass
+class CosmogonyResult:
+    zones: rd.Dataset          # final (post-cleanup) zones
+    edges: rd.Dataset          # inclusion edge table (child, parent)
+    stats: dict
+
+
+def build_cosmogony(
+    osm_dir: str, cfg: EngineConfig, with_stats: bool = True
+) -> CosmogonyResult:
+    relations, ways, nodes = read_osm_tables(osm_dir)
+    return build_cosmogony_from_datasets(relations, ways, nodes, cfg, with_stats)
+
+
+def build_cosmogony_from_datasets(
+    relations: rd.Dataset,
+    ways: rd.Dataset,
+    nodes: rd.Dataset,
+    cfg: EngineConfig,
+    with_stats: bool = True,
+) -> CosmogonyResult:
+    zones = assemble_zones(relations, ways, nodes, cfg).materialize()
+
+    geom_ref = broadcast_geometries(zones)
+    edges = find_inclusion_edges(zones, cfg, geom_ref).materialize()
+
+    typer = ZoneTyper.from_dir(cfg.rules_dir)
+    finder = build_country_finder(zones, typer)
+    zones_anc = attach_ancestors(zones, edges)
+    typed = type_zones(zones_anc, cfg, finder).materialize()
+
+    meta = build_zone_meta(typed)
+    parents = select_parents(edges, meta)
+    with_parents = attach_parents(typed, parents)
+
+    named = compute_names(with_parents).materialize()
+    label_map = build_label_map(named)
+    labeled = compute_labels(named, label_map, cfg)
+
+    final = clean_untagged_zones(labeled).materialize()
+    stats = compute_stats(final, typed) if with_stats else {}
+    return CosmogonyResult(zones=final, edges=edges, stats=stats)

@@ -41,7 +41,9 @@ from ..config import EngineConfig
 from ..geom.predicates import PreparedPolygon, covers
 from ..geom.wkb import multipolygon_from_wkb
 
-_CAND_SCHEMA = pa.schema([("child", pa.string()), ("parent", pa.string())])
+_CAND_SCHEMA = pa.schema(
+    [("child", pa.string()), ("parent", pa.string()), ("parent_area", pa.float64())]
+)
 
 
 def _covering_rows_fn(cfg: EngineConfig):
@@ -55,7 +57,8 @@ def _covering_rows_fn(cfg: EngineConfig):
         miny = batch["miny"].to_numpy(zero_copy_only=False)
         maxx = batch["maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["maxy"].to_numpy(zero_copy_only=False)
-        out_cell, out_salt, out_id, out_role = [], [], [], []
+        areas = batch["area"].to_numpy(zero_copy_only=False)
+        out_cell, out_salt, out_id, out_role, out_area = [], [], [], [], []
         out_bbox = [[], [], [], []]
         for i, osm_id in enumerate(ids):
             if not np.isfinite(minx[i]):
@@ -86,6 +89,7 @@ def _covering_rows_fn(cfg: EngineConfig):
                         out_salt.append(s)
                         out_id.append(osm_id)
                         out_role.append(role)
+                        out_area.append(float(areas[i]))
                         for k in range(4):
                             out_bbox[k].append(bbox[k])
         return pa.table(
@@ -94,6 +98,7 @@ def _covering_rows_fn(cfg: EngineConfig):
                 "salt": pa.array(out_salt, type=pa.int8()),
                 "osm_id": pa.array(out_id, type=pa.string()),
                 "role": pa.array(out_role, type=pa.int8()),
+                "area": pa.array(out_area, type=pa.float64()),
                 "minx": pa.array(out_bbox[0], type=pa.float64()),
                 "miny": pa.array(out_bbox[1], type=pa.float64()),
                 "maxx": pa.array(out_bbox[2], type=pa.float64()),
@@ -127,18 +132,20 @@ def _emit_candidates(group: pa.Table) -> pa.Table:
     ci, bj = np.nonzero(contains)
     child = ids[pi[ci]]
     parent = ids[bi[bj]]
+    parea = group["area"].to_numpy(zero_copy_only=False)[bi[bj]]
     keep = child != parent
     return pa.table(
         {
             "child": pa.array(child[keep].tolist(), type=pa.string()),
             "parent": pa.array(parent[keep].tolist(), type=pa.string()),
+            "parent_area": pa.array(parea[keep], type=pa.float64()),
         },
         schema=_CAND_SCHEMA,
     )
 
 
 def _dedup_pairs(group: pa.Table) -> pa.Table:
-    return group.select(["child", "parent"]).slice(0, 1)
+    return group.select(["child", "parent", "parent_area"]).slice(0, 1)
 
 
 class CoversTester:
@@ -205,7 +212,7 @@ def find_inclusion_edges(
         batch_format="pyarrow",
     )
     lite = boundary_zones.select_columns(
-        ["osm_id", "minx", "miny", "maxx", "maxy"]
+        ["osm_id", "minx", "miny", "maxx", "maxy", "area"]
     )
     cover = lite.map_batches(
         _covering_rows_fn(cfg), batch_format="pyarrow", batch_size=cfg.zone_batch_size

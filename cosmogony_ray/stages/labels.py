@@ -1,0 +1,155 @@
+"""Names and labels (P8/P9/D1/D2 + J6 chain walk).
+
+- ``compute_names`` (/root/reference/src/zone_ext.rs:337-355): merge the
+  center node's ``name:*`` tags into the zone's tags when the wikidata ids
+  match, or for a City when either wikidata is missing.
+- ``compute_labels`` (/root/reference/src/zone_ext.rs:309-375): walk the
+  parent chain, join names with ", " after consecutive-dedup, append the zip
+  suffix to the head (format_zip_code, zone_ext.rs:385-395); one label per
+  language present anywhere in the chain (optionally restricted by
+  ``filter_langs``), each falling back to the default name per zone.
+
+The chain walk needs fully resolved parents → the zones table (small side) is
+collected into a broadcast map and the walk is a stateless ``map_batches``
+(SURVEY §2.4 J6). ≤ ~7 hops: zone_type strictly decreases up the chain.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..model import TAGS_T
+
+_LANG_RE = re.compile(r"^name:(.+)")
+
+
+def international_names(tags: dict, default_name: str) -> dict[str, str]:
+    """name:<lang> entries differing from the default name
+    (/root/reference/src/zone_ext.rs:404-417)."""
+    out = {}
+    for k, v in tags.items():
+        if v == default_name:
+            continue
+        m = _LANG_RE.match(k)
+        if m:
+            out[m.group(1)] = v
+    return out
+
+
+def compute_names_batch(batch: pa.Table) -> pa.Table:
+    tags_col = batch["tags"].to_pylist()
+    ct_col = batch["center_tags"].to_pylist()
+    wikis = batch["wikidata"].to_pylist()
+    types = batch["zone_type"].to_pylist()
+    out = []
+    for i in range(batch.num_rows):
+        tags = dict(tags_col[i] or [])
+        ct = dict(ct_col[i] or [])
+        cw = ct.get("wikidata")
+        if (wikis[i] is not None and wikis[i] == cw) or (
+            types[i] == "city" and (cw is None or wikis[i] is None)
+        ):
+            for k, v in ct.items():
+                if k.startswith("name:"):
+                    tags.setdefault(k, v)
+        out.append(sorted(tags.items()))
+    idx = batch.column_names.index("tags")
+    return batch.set_column(idx, "tags", pa.array(out, type=TAGS_T))
+
+
+def compute_names(zones: rd.Dataset) -> rd.Dataset:
+    return zones.map_batches(compute_names_batch, batch_format="pyarrow")
+
+
+def build_label_map(named_zones: rd.Dataset) -> dict[str, tuple]:
+    """osm_id → (name, intl_names dict, parent). Broadcast-sized."""
+    m = {}
+    for b in named_zones.select_columns(["osm_id", "name", "tags", "parent"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = b["osm_id"].to_pylist()
+        names = b["name"].to_pylist()
+        tags = b["tags"].to_pylist()
+        parents = b["parent"].to_pylist()
+        for i in range(len(ids)):
+            intl = international_names(dict(tags[i] or []), names[i])
+            m[ids[i]] = (names[i], intl, parents[i])
+    return m
+
+
+def format_zip_code(zips: list[str]) -> str:
+    if not zips:
+        return ""
+    if len(zips) == 1:
+        return f" ({zips[0]})"
+    return f" ({zips[0]}-{zips[-1]})"
+
+
+def _chain(osm_id: str, m: dict) -> list[str]:
+    out = []
+    cur = osm_id
+    seen = set()
+    while cur is not None and cur in m and cur not in seen:
+        seen.add(cur)
+        out.append(cur)
+        cur = m[cur][2]
+    return out
+
+
+def _labels_fn(map_ref, filter_langs: tuple[str, ...]):
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ids = batch["osm_id"].to_pylist()
+        zips_col = batch["zip_codes"].to_pylist()
+        labels, intl_labels = [], []
+        for i, osm_id in enumerate(ids):
+            chain = _chain(osm_id, m)
+            zsuffix = format_zip_code(zips_col[i] or [])
+
+            def lbl(lang: str | None) -> str:
+                names = []
+                for cid in chain:
+                    n0, intl, _ = m[cid]
+                    n = intl.get(lang, n0) if lang is not None else n0
+                    if not names or names[-1] != n:  # consecutive dedup (D1)
+                        names.append(n)
+                if names:
+                    names[0] += zsuffix
+                return ", ".join(names)
+
+            langs = {l for cid in chain for l in m[cid][1]}
+            if filter_langs:
+                langs = {l for l in langs if l in filter_langs}
+            labels.append(lbl(None))
+            intl_labels.append(sorted((l, lbl(l)) for l in langs))
+        batch = batch.drop_columns(["label", "international_labels"])
+        batch = batch.append_column("label", pa.array(labels, type=pa.string()))
+        batch = batch.append_column(
+            "international_labels", pa.array(intl_labels, type=TAGS_T)
+        )
+        return batch
+
+    return fn
+
+
+def compute_labels(
+    named_zones: rd.Dataset, label_map: dict, cfg: EngineConfig
+) -> rd.Dataset:
+    map_ref = ray.put(label_map)
+    return named_zones.map_batches(
+        _labels_fn(map_ref, tuple(cfg.filter_langs)), batch_format="pyarrow"
+    )
+
+
+def clean_untagged_zones(zones: rd.Dataset) -> rd.Dataset:
+    """Drop zones never typed (P11, /root/reference/src/lib.rs:196-201)."""
+    return zones.map_batches(
+        lambda t: t.filter(pa.compute.is_valid(t["zone_type"])),
+        batch_format="pyarrow",
+    )

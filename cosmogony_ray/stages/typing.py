@@ -1,0 +1,140 @@
+"""Zone typing: country resolution + libpostal-style rules (actor pool).
+
+The Ray-Data re-expression of ``type_zones`` (/root/reference/src/lib.rs:110-184):
+
+1. ``attach_ancestors``: inclusion edges → per-zone ancestor list, ordered by
+   (parent_area asc, parent_osm_id) — the engine's deterministic replacement
+   for the reference's R-tree iteration order (SURVEY §7.4 "ordering/tie-break
+   determinism"); most-specific ancestor first.
+2. ``ZoneTyperStage`` actor pool: rules parsed once per actor from the YAML
+   dir (ST1), country map broadcast (ST2); per row:
+   country = forced ``cfg.country_code`` (lib.rs:97-108) else
+   max-admin-level country over ancestors∪self; then rules lookup.
+   Outcomes mirror lib.rs:146-181:
+   - ok            → zone_type := rule type, country_code := country
+   - no_country    → untouched (stats: zone_without_country)
+   - invalid_country → country_code set, type untouched
+   - unknown_level → country_code set, type untouched (node zones keep their
+     place-tag type and survive; untyped relations are filtered later)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..functions.joins import hash_join
+from ..model import ZONE_SCHEMA
+from ..state.country import COUNTRY_CODE_TAG, CountryFinder
+from ..state.rules import ZoneTyper
+
+ANCESTORS_T = pa.list_(pa.string())
+
+
+def _collect_ancestors(group: pa.Table) -> pa.Table:
+    order = sorted(
+        range(group.num_rows),
+        key=lambda i: (group["parent_area"][i].as_py(), group["parent"][i].as_py()),
+    )
+    parents = [group["parent"][i].as_py() for i in order]
+    return pa.table(
+        {
+            "osm_id": pa.array([group["child"][0].as_py()], type=pa.string()),
+            "ancestors": pa.array([parents], type=ANCESTORS_T),
+        }
+    )
+
+
+def attach_ancestors(zones: rd.Dataset, edges: rd.Dataset) -> rd.Dataset:
+    anc = edges.groupby("child").map_groups(_collect_ancestors, batch_format="pyarrow")
+    return hash_join(
+        zones,
+        anc,
+        "osm_id",
+        how="left",
+        left_schema=ZONE_SCHEMA,
+        right_schema=pa.schema([("osm_id", pa.string()), ("ancestors", ANCESTORS_T)]),
+    )
+
+
+def build_country_finder(zones: rd.Dataset, typer: ZoneTyper) -> CountryFinder:
+    """Scan the (small) zones table for ISO-tagged zones → broadcastable map.
+    Streams batches to the driver; zones-side-fits-in-memory assumption
+    (SURVEY §7.0)."""
+    rows = []
+    for b in zones.select_columns(["osm_id", "tags", "admin_level"]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        ids = b["osm_id"].to_pylist()
+        tags = b["tags"].to_pylist()
+        lvls = b["admin_level"].to_pylist()
+        for i in range(len(ids)):
+            t = dict(tags[i] or [])
+            if COUNTRY_CODE_TAG in t:
+                rows.append((ids[i], t, lvls[i]))
+    return CountryFinder.from_zone_rows(rows, typer)
+
+
+class ZoneTyperStage:
+    """Callable class for ``map_batches`` — rules parsed once per actor."""
+
+    def __init__(self, rules_dir: str, finder_ref, forced_country: str | None):
+        self.typer = ZoneTyper.from_dir(rules_dir)
+        self.finder: CountryFinder = ray.get(finder_ref)
+        self.forced = forced_country.upper() if forced_country else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["osm_id"].to_pylist()
+        levels = batch["admin_level"].to_pylist()
+        old_types = batch["zone_type"].to_pylist()
+        ancestors = batch["ancestors"].to_pylist()
+        new_types, new_cc, status = [], [], []
+        for i in range(len(ids)):
+            anc = ancestors[i] or []
+            cc = self.forced or self.finder.find(ids[i], anc)
+            if cc is None:
+                new_types.append(old_types[i])
+                new_cc.append(None)
+                status.append("no_country")
+                continue
+            st, t = self.typer.get_zone_type(ids[i], levels[i], cc, anc)
+            new_cc.append(cc)
+            if st == "ok":
+                new_types.append(t)
+            else:
+                new_types.append(old_types[i])  # keep place-tag type (lib.rs:165-180)
+            status.append(st)
+        batch = batch.drop_columns(["zone_type", "country_code"])
+        batch = batch.append_column("zone_type", pa.array(new_types, type=pa.string()))
+        batch = batch.append_column("country_code", pa.array(new_cc, type=pa.string()))
+        batch = batch.append_column("type_status", pa.array(status, type=pa.string()))
+        return batch
+
+
+def type_zones(
+    zones_with_ancestors: rd.Dataset,
+    cfg: EngineConfig,
+    finder: CountryFinder,
+) -> rd.Dataset:
+    if cfg.rules_dir is None:
+        raise ValueError("cfg.rules_dir is required for typing")
+    if cfg.country_code is None and finder.is_empty():
+        raise ValueError(
+            "no country_code provided and no country found; cannot build a cosmogony"
+        )  # lib.rs:121-127
+    finder_ref = ray.put(finder)
+    return zones_with_ancestors.map_batches(
+        ZoneTyperStage,
+        fn_constructor_kwargs={
+            "rules_dir": cfg.rules_dir,
+            "finder_ref": finder_ref,
+            "forced_country": cfg.country_code,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.zone_batch_size,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

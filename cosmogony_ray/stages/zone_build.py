@@ -33,6 +33,7 @@ from ..functions.joins import hash_join
 from ..geom.algorithms import (
     assemble_rings,
     build_polygons,
+    multipolygon_area,
     multipolygon_bbox,
     multipolygon_centroid,
 )
@@ -199,6 +200,7 @@ def _build_zone_group(group: pa.Table) -> pa.Table:
         "miny": bbox[1],
         "maxx": bbox[2],
         "maxy": bbox[3],
+        "area": multipolygon_area(mpoly),
         "is_generated": False,
         "country_code": None,
         "parent": None,
@@ -257,6 +259,7 @@ def _node_zones(batch: pa.Table) -> pa.Table:
                 "miny": None,
                 "maxx": None,
                 "maxy": None,
+                "area": None,
                 "is_generated": True,
                 "country_code": None,
                 "parent": None,
