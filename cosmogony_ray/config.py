@@ -27,7 +27,7 @@ class EngineConfig:
     join_num_partitions: int = 32            # hash-join partitions for assembly joins
     zone_batch_size: int = 512               # geometry rows per batch (wide WKB rows)
     doc_batch_size: int = 4096               # doc geotag batch size
-    geotag_concurrency: int | tuple = 8      # actor pool size for the doc path
+    geotag_concurrency: int | tuple = (1, 8)      # actor pool size for the doc path
     checkpoint_dir: str | None = None
 
     def cells(self) -> GridCells:

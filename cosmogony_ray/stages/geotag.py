@@ -1,0 +1,300 @@
+"""Doc-span geotagging (J7) — the engine's streaming hot path.
+
+Streams interleaved text+media documents (``doc_id``, ``spans`` per
+BASELINE.json input_hint), resolves each span's point to its containing zone
+(smallest by zone_type, ties by area then osm_id — same total order as the
+hierarchy argmin), with a kNN fallback to the nearest admin centroid for
+points outside every boundary (coastal/boundary points).
+
+Design (north_rule): a **cell→zone inverted index** built once from the
+(small) zones table, held by actor-pool workers (``ray.put`` once, read in
+every actor ``__init__`` — never re-shipped per batch). Per batch:
+
+- span points parsed with vectorized ``pyarrow.compute.extract_regex``;
+- candidate zones via ladder-cell lookups (numpy);
+- exact PIP per candidate zone over all of its candidate points in ONE
+  vectorized call (points grouped by zone, not zone-per-point);
+- kNN fallback: ring-expanding search over a coarse centroid grid, exact
+  haversine argmin.
+
+The ``spans`` column is passed through untouched — the per-row span-sequence
+invariant (kind, text, media_ref, order) is preserved by construction and
+asserted in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import EngineConfig
+from ..geom.cells import GridCells
+from ..geom.predicates import PreparedPolygon
+from ..geom.wkb import multipolygon_from_wkb
+from ..model import ZONE_TYPE_RANK
+
+_TEXT_RE = r"@(?P<lon>-?[0-9]+(?:\.[0-9]+)?),(?P<lat>-?[0-9]+(?:\.[0-9]+)?)"
+_MEDIA_RE = r"\?lon=(?P<lon>-?[0-9]+(?:\.[0-9]+)?)&lat=(?P<lat>-?[0-9]+(?:\.[0-9]+)?)"
+
+TILE_T = pa.struct(
+    [("span_index", pa.int32()), ("zone_osm_id", pa.string()), ("cell_id", pa.int64())]
+)
+
+
+class ZoneIndexData:
+    """Numpy-friendly zone index: covering-cell dict + per-zone metadata.
+    Built once on the driver from the final zones table (zone side is small;
+    SURVEY §7.0), broadcast via ray.put."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cells = cfg.cells()
+        self.ids: list[str] = []
+        self.rank: np.ndarray | None = None
+        self.area: np.ndarray | None = None
+        self.clon: np.ndarray | None = None
+        self.clat: np.ndarray | None = None
+        self.admin: np.ndarray | None = None
+        self.wkb: list[bytes | None] = []
+        self.cell_map: dict[int, np.ndarray] = {}
+        self.centroid_cell_map: dict[int, np.ndarray] = {}
+        self.centroid_res = cfg.min_res + 2
+
+    @classmethod
+    def from_zones(cls, zones: rd.Dataset, cfg: EngineConfig) -> "ZoneIndexData":
+        self = cls(cfg)
+        ranks, areas, clons, clats, admins = [], [], [], [], []
+        tmp_cells: dict[int, list[int]] = {}
+        cols = [
+            "osm_id", "zone_type", "area", "center_lon", "center_lat",
+            "boundary_wkb", "minx", "miny", "maxx", "maxy",
+        ]
+        for b in zones.select_columns(cols).iter_batches(
+            batch_size=2048, batch_format="pyarrow"
+        ):
+            for row in b.to_pylist():
+                i = len(self.ids)
+                self.ids.append(row["osm_id"])
+                rank = ZONE_TYPE_RANK.get(row["zone_type"], len(ZONE_TYPE_RANK))
+                ranks.append(rank)
+                areas.append(row["area"] if row["area"] is not None else 0.0)
+                admins.append(
+                    row["zone_type"] is not None
+                    and row["zone_type"] != "non_administrative"
+                )
+                wkb = row["boundary_wkb"]
+                self.wkb.append(wkb)
+                if row["center_lon"] is not None:
+                    clons.append(row["center_lon"])
+                    clats.append(row["center_lat"])
+                elif row["minx"] is not None:
+                    clons.append((row["minx"] + row["maxx"]) / 2.0)
+                    clats.append((row["miny"] + row["maxy"]) / 2.0)
+                else:
+                    clons.append(np.nan)
+                    clats.append(np.nan)
+                if wkb is not None and row["minx"] is not None:
+                    bbox = (row["minx"], row["miny"], row["maxx"], row["maxy"])
+                    res = self.cells.cover_res_for_bbox(bbox)
+                    for c in self.cells.cover_bbox(bbox, res):
+                        tmp_cells.setdefault(int(c), []).append(i)
+        self.rank = np.array(ranks, dtype=np.int16)
+        self.area = np.array(areas, dtype=np.float64)
+        self.clon = np.array(clons, dtype=np.float64)
+        self.clat = np.array(clats, dtype=np.float64)
+        self.admin = np.array(admins, dtype=bool)
+        self.cell_map = {c: np.array(v, dtype=np.int32) for c, v in tmp_cells.items()}
+        # coarse centroid grid for the kNN fallback (admin zones w/ centroid)
+        cen: dict[int, list[int]] = {}
+        ok = self.admin & np.isfinite(self.clon)
+        cids = self.cells.cell_of(self.clon[ok], self.clat[ok], self.centroid_res)
+        for i, c in zip(np.nonzero(ok)[0], cids):
+            cen.setdefault(int(c), []).append(int(i))
+        self.centroid_cell_map = {c: np.array(v, dtype=np.int32) for c, v in cen.items()}
+        return self
+
+
+def _haversine(lon1, lat1, lon2, lat2):
+    r = np.radians
+    dlon = r(lon2 - lon1)
+    dlat = r(lat2 - lat1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(r(lat1)) * np.cos(r(lat2)) * np.sin(dlon / 2) ** 2
+    return 2 * 6371.0 * np.arcsin(np.sqrt(a))
+
+
+class GeotagActor:
+    """Actor-pool ``map_batches`` stage holding the broadcast zone index and a
+    per-actor prepared-geometry cache (setup once per actor, SURVEY §7.2)."""
+
+    def __init__(self, index_ref, knn_max_rings: int = 8):
+        self.idx: ZoneIndexData = ray.get(index_ref)
+        self.prepared: dict[int, PreparedPolygon] = {}
+        self.knn_max_rings = knn_max_rings
+
+    def _prep(self, zi: int) -> PreparedPolygon | None:
+        p = self.prepared.get(zi)
+        if p is None:
+            wkb = self.idx.wkb[zi]
+            if wkb is None:
+                return None
+            try:
+                p = PreparedPolygon(multipolygon_from_wkb(wkb))
+            except Exception:
+                return None
+            self.prepared[zi] = p
+        return p
+
+    # ---------------------------------------------------------------- parse
+    @staticmethod
+    def _span_points(spans_col: pa.ChunkedArray | pa.Array):
+        """Flatten spans; extract (lon, lat) per span via vectorized regex.
+        Returns (doc_index per span, span_index per span, lon, lat)."""
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
+        counts = np.diff(offsets)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        span_idx = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], counts)
+        flat = spans_col.flatten()
+        text = pc.struct_field(flat, "text")
+        media = pc.struct_field(flat, "media_ref")
+        t = pc.extract_regex(pc.fill_null(text, ""), _TEXT_RE)
+        m = pc.extract_regex(pc.fill_null(media, ""), _MEDIA_RE)
+        lon = np.full(len(flat), np.nan)
+        lat = np.full(len(flat), np.nan)
+        for ext in (t, m):
+            valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+            if valid.any():
+                lo = pc.struct_field(ext, "lon").to_numpy(zero_copy_only=False)
+                la = pc.struct_field(ext, "lat").to_numpy(zero_copy_only=False)
+                vi = np.nonzero(valid)[0]
+                lon[vi] = np.array([float(x) for x in lo[vi]])
+                lat[vi] = np.array([float(x) for x in la[vi]])
+        return doc_idx, span_idx, lon, lat
+
+    # ---------------------------------------------------------------- match
+    def _containing_zone(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Per point: index of smallest covering zone, or -1."""
+        idx = self.idx
+        n = lon.shape[0]
+        ladder_cells = idx.cells.cells_of_ladder(lon, lat)  # (L, n)
+        # points grouped per candidate zone → one vectorized PIP per zone
+        zone_points: dict[int, list[int]] = {}
+        for pi in range(n):
+            if not np.isfinite(lon[pi]):
+                continue
+            seen: set[int] = set()
+            for c in ladder_cells[:, pi]:
+                arr = idx.cell_map.get(int(c))
+                if arr is not None:
+                    seen.update(int(z) for z in arr)
+            for z in seen:
+                zone_points.setdefault(z, []).append(pi)
+        best = np.full(n, -1, dtype=np.int64)
+        best_key: list = [None] * n
+        for z, pts in zone_points.items():
+            prep = self._prep(z)
+            if prep is None:
+                continue
+            pts_a = np.asarray(pts, dtype=np.int64)
+            inside = prep.covers_points(lon[pts_a], lat[pts_a])
+            if not inside.any():
+                continue
+            key = (int(idx.rank[z]), float(idx.area[z]), idx.ids[z])
+            for pi in pts_a[inside]:
+                if best_key[pi] is None or key < best_key[pi]:
+                    best_key[pi] = key
+                    best[pi] = z
+        return best
+
+    def _knn_fallback(self, lon: float, lat: float) -> int:
+        idx = self.idx
+        res = idx.centroid_res
+        cell = int(idx.cells.cell_of(np.array([lon]), np.array([lat]), res)[0])
+        n = 1 << res
+        ix0 = cell & ((1 << 29) - 1)
+        iy0 = (cell >> 29) & ((1 << 29) - 1)
+        cand: list[int] = []
+        for ring in range(self.knn_max_rings + 1):
+            for dx in range(-ring, ring + 1):
+                for dy in range(-ring, ring + 1):
+                    if max(abs(dx), abs(dy)) != ring:
+                        continue
+                    ix, iy = ix0 + dx, iy0 + dy
+                    if not (0 <= ix < n and 0 <= iy < n):
+                        continue
+                    c = (res << 58) | (iy << 29) | ix
+                    arr = idx.centroid_cell_map.get(c)
+                    if arr is not None:
+                        cand.extend(int(z) for z in arr)
+            if cand:
+                break
+        if not cand:  # global fallback (tiny worlds / empty neighborhoods)
+            ok = idx.admin & np.isfinite(idx.clon)
+            cand = [int(i) for i in np.nonzero(ok)[0]]
+            if not cand:
+                return -1
+        ca = np.asarray(cand, dtype=np.int64)
+        d = _haversine(lon, lat, idx.clon[ca], idx.clat[ca])
+        order = np.lexsort((np.array([idx.ids[z] for z in ca], dtype=object), d))
+        return int(ca[order[0]])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, span_idx, lon, lat = self._span_points(batch["spans"])
+        zone_i = self._containing_zone(lon, lat)
+        miss = np.nonzero((zone_i < 0) & np.isfinite(lon))[0]
+        for pi in miss:
+            zone_i[pi] = self._knn_fallback(float(lon[pi]), float(lat[pi]))
+        max_res = self.idx.cells.ladder[-1]
+        cell_ids = np.where(
+            np.isfinite(lon),
+            self.idx.cells.cell_of(np.nan_to_num(lon), np.nan_to_num(lat), max_res),
+            -1,
+        )
+        # per-doc tile lists, same order as spans
+        tiles: list[list[dict]] = [[] for _ in range(batch.num_rows)]
+        for k in range(len(doc_idx)):
+            z = int(zone_i[k])
+            tiles[int(doc_idx[k])].append(
+                {
+                    "span_index": int(span_idx[k]),
+                    "zone_osm_id": self.idx.ids[z] if z >= 0 else None,
+                    "cell_id": int(cell_ids[k]),
+                }
+            )
+        return batch.append_column("tiles", pa.array(tiles, type=pa.list_(TILE_T)))
+
+
+def build_zone_index(zones: rd.Dataset, cfg: EngineConfig):
+    """Broadcast-ready zone index (ray.put once)."""
+    return ray.put(ZoneIndexData.from_zones(zones, cfg))
+
+
+def geotag_docs(
+    docs: rd.Dataset, index_ref, cfg: EngineConfig | None = None
+) -> rd.Dataset:
+    """docs(doc_id, spans, ...) → same rows + ``tiles`` column; ``spans``
+    passes through untouched (span-sequence invariant)."""
+    cfg = cfg or EngineConfig()
+    return docs.map_batches(
+        GeotagActor,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.doc_batch_size,
+        concurrency=cfg.geotag_concurrency,
+        num_cpus=1,
+    )
+
+
+def tiles_table(tagged: rd.Dataset) -> rd.Dataset:
+    """Explode (doc_id, tiles) → flat tile assignments
+    (doc_id, span_index, zone_osm_id, cell_id)."""
+    from ..functions.arrowtools import explode_list_column
+
+    return tagged.select_columns(["doc_id", "tiles"]).map_batches(
+        lambda t: explode_list_column(t, "tiles", ["doc_id"]),
+        batch_format="pyarrow",
+    )
