@@ -1,0 +1,58 @@
+"""Generic relational operators, Ray-Data-first.
+
+These back the engine's TPC-H-style query surface. The key scale pattern is
+**partial aggregation**: per-batch combine inside ``map_batches`` (one row per
+key per batch) before the ``groupby`` shuffle, so the all-to-all exchange
+moves key-cardinality rows, not input-cardinality rows (ray_guide
+"Aggregation at scale")."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def partial_groupby_sum(
+    ds: rd.Dataset,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+) -> rd.Dataset:
+    """groupby(keys) with SUM columns (``sums``: out_name → expr column) and
+    an optional COUNT column — pre-aggregated per batch, then a small final
+    groupby shuffle. Output columns: keys + list(sums) + [counts]."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(keys, as_index=False, sort=False)
+        agg = {out: (src, "sum") for out, src in sums.items()}
+        out = g.agg(**agg)
+        if counts is not None:
+            out[counts] = g.size()["size"].values
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        row = {k: [group[k].iloc[0]] for k in keys}
+        for out in sums:
+            row[out] = [group[out].sum()]
+        if counts is not None:
+            row[counts] = [group[counts].sum()]
+        return pd.DataFrame(row)
+
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
+def top_k(ds: rd.Dataset, by: list[str], k: int, descending: bool = True) -> rd.Dataset:
+    """Global top-k via sort+limit (Ray's sort samples boundaries; limit
+    truncates the stream — no full materialization)."""
+    return ds.sort(by, descending=descending).limit(k)
+
+
+def distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
+    """Exact distinct on keys (hash-partition + per-group first)."""
+    return ds.groupby(keys).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -37,8 +37,9 @@ from ..geom.predicates import PreparedPolygon
 from ..geom.wkb import multipolygon_from_wkb
 from ..model import ZONE_TYPE_RANK
 
-_TEXT_RE = r"@(?P<lon>-?[0-9]+(?:\.[0-9]+)?),(?P<lat>-?[0-9]+(?:\.[0-9]+)?)"
-_MEDIA_RE = r"\?lon=(?P<lon>-?[0-9]+(?:\.[0-9]+)?)&lat=(?P<lat>-?[0-9]+(?:\.[0-9]+)?)"
+_NUM = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+_TEXT_RE = rf"@(?P<lon>{_NUM}),(?P<lat>{_NUM})"
+_MEDIA_RE = rf"\?lon=(?P<lon>{_NUM})&lat=(?P<lat>{_NUM})"
 
 TILE_T = pa.struct(
     [("span_index", pa.int32()), ("zone_osm_id", pa.string()), ("cell_id", pa.int64())]
@@ -60,8 +61,6 @@ class ZoneIndexData:
         self.admin: np.ndarray | None = None
         self.wkb: list[bytes | None] = []
         self.cell_map: dict[int, np.ndarray] = {}
-        self.centroid_cell_map: dict[int, np.ndarray] = {}
-        self.centroid_res = cfg.min_res + 2
 
     @classmethod
     def from_zones(cls, zones: rd.Dataset, cfg: EngineConfig) -> "ZoneIndexData":
@@ -107,13 +106,13 @@ class ZoneIndexData:
         self.clat = np.array(clats, dtype=np.float64)
         self.admin = np.array(admins, dtype=bool)
         self.cell_map = {c: np.array(v, dtype=np.int32) for c, v in tmp_cells.items()}
-        # coarse centroid grid for the kNN fallback (admin zones w/ centroid)
-        cen: dict[int, list[int]] = {}
-        ok = self.admin & np.isfinite(self.clon)
-        cids = self.cells.cell_of(self.clon[ok], self.clat[ok], self.centroid_res)
-        for i, c in zip(np.nonzero(ok)[0], cids):
-            cen.setdefault(int(c), []).append(int(i))
-        self.centroid_cell_map = {c: np.array(v, dtype=np.int32) for c, v in cen.items()}
+        # kNN candidate set: admin zones with a finite centroid, SORTED by
+        # osm_id so a first-occurrence argmin is the deterministic tie-break
+        ok = np.nonzero(self.admin & np.isfinite(self.clon))[0]
+        order = sorted(ok, key=lambda i: self.ids[i])
+        self.knn_idx = np.array(order, dtype=np.int64)
+        self.knn_lon = self.clon[self.knn_idx]
+        self.knn_lat = self.clat[self.knn_idx]
         return self
 
 
@@ -129,10 +128,9 @@ class GeotagActor:
     """Actor-pool ``map_batches`` stage holding the broadcast zone index and a
     per-actor prepared-geometry cache (setup once per actor, SURVEY §7.2)."""
 
-    def __init__(self, index_ref, knn_max_rings: int = 8):
+    def __init__(self, index_ref):
         self.idx: ZoneIndexData = ray.get(index_ref)
         self.prepared: dict[int, PreparedPolygon] = {}
-        self.knn_max_rings = knn_max_rings
 
     def _prep(self, zi: int) -> PreparedPolygon | None:
         p = self.prepared.get(zi)
@@ -210,44 +208,39 @@ class GeotagActor:
                     best[pi] = z
         return best
 
-    def _knn_fallback(self, lon: float, lat: float) -> int:
+    def _knn_fallback_batch(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Exact nearest-admin-centroid per point, vectorized over the whole
+        batch of fallback points in edge-chunked matrix form; ties resolve to
+        the smallest osm_id (candidate array is pre-sorted by osm_id).
+
+        The fallback rate is a few percent of spans; a chunked
+        (n_miss × n_zones) haversine matrix keeps it numpy-bound. An
+        LSH/cell-pruned variant is the documented scale path if the fallback
+        share ever dominates (SURVEY §2.4 J7)."""
         idx = self.idx
-        res = idx.centroid_res
-        cell = int(idx.cells.cell_of(np.array([lon]), np.array([lat]), res)[0])
-        n = 1 << res
-        ix0 = cell & ((1 << 29) - 1)
-        iy0 = (cell >> 29) & ((1 << 29) - 1)
-        cand: list[int] = []
-        for ring in range(self.knn_max_rings + 1):
-            for dx in range(-ring, ring + 1):
-                for dy in range(-ring, ring + 1):
-                    if max(abs(dx), abs(dy)) != ring:
-                        continue
-                    ix, iy = ix0 + dx, iy0 + dy
-                    if not (0 <= ix < n and 0 <= iy < n):
-                        continue
-                    c = (res << 58) | (iy << 29) | ix
-                    arr = idx.centroid_cell_map.get(c)
-                    if arr is not None:
-                        cand.extend(int(z) for z in arr)
-            if cand:
-                break
-        if not cand:  # global fallback (tiny worlds / empty neighborhoods)
-            ok = idx.admin & np.isfinite(idx.clon)
-            cand = [int(i) for i in np.nonzero(ok)[0]]
-            if not cand:
-                return -1
-        ca = np.asarray(cand, dtype=np.int64)
-        d = _haversine(lon, lat, idx.clon[ca], idx.clat[ca])
-        order = np.lexsort((np.array([idx.ids[z] for z in ca], dtype=object), d))
-        return int(ca[order[0]])
+        if idx.knn_idx.size == 0:
+            return np.full(lon.shape[0], -1, dtype=np.int64)
+        best = np.full(lon.shape[0], -1, dtype=np.int64)
+        best_d = np.full(lon.shape[0], np.inf)
+        chunk = 65536
+        for s in range(0, idx.knn_idx.size, chunk):
+            d = _haversine(
+                lon[:, None], lat[:, None],
+                idx.knn_lon[None, s : s + chunk], idx.knn_lat[None, s : s + chunk],
+            )
+            ci = np.argmin(d, axis=1)  # first min = smallest osm_id on ties
+            cd = d[np.arange(d.shape[0]), ci]
+            better = cd < best_d
+            best[better] = idx.knn_idx[s + ci[better]]
+            best_d[better] = cd[better]
+        return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_idx, span_idx, lon, lat = self._span_points(batch["spans"])
         zone_i = self._containing_zone(lon, lat)
         miss = np.nonzero((zone_i < 0) & np.isfinite(lon))[0]
-        for pi in miss:
-            zone_i[pi] = self._knn_fallback(float(lon[pi]), float(lat[pi]))
+        if miss.size:
+            zone_i[miss] = self._knn_fallback_batch(lon[miss], lat[miss])
         max_res = self.idx.cells.ladder[-1]
         cell_ids = np.where(
             np.isfinite(lon),
