@@ -279,6 +279,132 @@ def _q_top_customers(sf_dir: str):
     return top_k(joined, ["sum_total_cents", "c_custkey"], 10, descending=True)
 
 
+# --------------------------------------------------- text / dedup / vectors
+
+
+def _docs_ds(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+def _q_text_stats(sf_dir: str):
+    from cosmogony_ray.functions.textops import text_stats
+
+    return text_stats(_docs_ds(sf_dir))
+
+
+def _q_quality_class(sf_dir: str):
+    from cosmogony_ray.functions.textops import quality_class
+
+    return quality_class(_docs_ds(sf_dir))
+
+
+def _q_lang_id(sf_dir: str):
+    from cosmogony_ray.functions.textops import lang_id
+
+    return lang_id(_docs_ds(sf_dir))
+
+
+def _q_fingerprint(sf_dir: str):
+    from cosmogony_ray.functions.textops import fingerprint_md5
+
+    return fingerprint_md5(_docs_ds(sf_dir))
+
+
+def _q_rolling_fingerprint(sf_dir: str):
+    from cosmogony_ray.functions.textops import rolling_fingerprint
+
+    return rolling_fingerprint(_docs_ds(sf_dir))
+
+
+def _q_dedup_exact(sf_dir: str):
+    from cosmogony_ray.functions.dedup import exact_dedup
+
+    return exact_dedup(_docs_ds(sf_dir))
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from cosmogony_ray.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_ds(sf_dir))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from cosmogony_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_ds(sf_dir))
+
+
+def _q_embedding_dups(sf_dir: str):
+    from cosmogony_ray.functions.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_dup_pairs(ds, threshold=0.4)
+
+
+_KNN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def _q_knn_embeddings(sf_dir: str):
+    from cosmogony_ray.functions.similarity import broadcast_queries, knn_brute
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qref = broadcast_queries(ds, _KNN_QUERY_IDS, "embedding", "vec_id")
+    return knn_brute(ds, qref, k=10)
+
+
+def _q_knn_lsh(sf_dir: str):
+    from cosmogony_ray.functions.similarity import broadcast_queries, knn_lsh
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qref = broadcast_queries(ds, _KNN_QUERY_IDS, "embedding", "vec_id")
+    return knn_lsh(ds, qref, k=10)
+
+
+def _q_user_sessions(sf_dir: str):
+    """Sessionization (streaming-shaped op per ray_guide): per user, events
+    sorted by ts; a gap > 30 min starts a new session."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        # microsecond precision to match SQL epoch() comparison exactly
+        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps_us > 1800 * 1_000_000).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+_STOP_EN = "the|and|of|to|in|is|that|with"
+_STOP_DE = "der|die|das|und|ist|nicht|mit|ein"
+_STOP_FR = "le|la|les|et|est|dans|que|pour"
+
+_TEXT_STATS_CTE = f"""
+stats AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens,
+         length(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+         length(regexp_extract_all(lower(text), '\\b({_STOP_EN})\\b'))::BIGINT AS n_stop_en,
+         length(regexp_extract_all(lower(text), '\\b({_STOP_DE})\\b'))::BIGINT AS n_stop_de,
+         length(regexp_extract_all(lower(text), '\\b({_STOP_FR})\\b'))::BIGINT AS n_stop_fr
+  FROM documents
+)
+"""
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -299,6 +425,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": _q_q3_top_orders,
         "events_by_type": _q_events_by_type,
         "top_customers": _q_top_customers,
+        "text_stats": _q_text_stats,
+        "quality_class": _q_quality_class,
+        "lang_id": _q_lang_id,
+        "fingerprint_md5": _q_fingerprint,
+        "rolling_fingerprint": _q_rolling_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "embedding_dups": _q_embedding_dups,
+        "knn_embeddings": _q_knn_embeddings,
+        "knn_lsh": _q_knn_lsh,
+        "user_sessions": _q_user_sessions,
     }
 
 
@@ -364,4 +502,62 @@ GROUP BY c.c_custkey
 ORDER BY sum_total_cents DESC, c_custkey DESC
 LIMIT 10
 """,
+        "text_stats": f"WITH {_TEXT_STATS_CTE} SELECT doc_id, n_chars, n_tokens, n_punct, n_stop_en FROM stats",
+        "quality_class": f"""
+WITH {_TEXT_STATS_CTE}
+SELECT doc_id,
+       CASE WHEN n_tokens >= 20 AND 100*n_stop_en >= 10*n_tokens THEN 2
+            WHEN n_tokens >= 5 THEN 1 ELSE 0 END::INT AS quality_class
+FROM stats
+""",
+        "lang_id": f"""
+WITH {_TEXT_STATS_CTE}
+SELECT doc_id,
+       CASE WHEN greatest(n_stop_de, n_stop_en, n_stop_fr) = 0 THEN 'und'
+            WHEN n_stop_de = greatest(n_stop_de, n_stop_en, n_stop_fr) THEN 'de'
+            WHEN n_stop_en = greatest(n_stop_de, n_stop_en, n_stop_fr) THEN 'en'
+            ELSE 'fr' END AS pred_lang
+FROM stats
+""",
+        "fingerprint_md5": r"""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+""",
+        "dedup_exact": r"""
+SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*)::BIGINT AS n_dups
+FROM documents GROUP BY 1
+""",
+        "knn_embeddings": f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id IN ({', '.join(map(str, _KNN_QUERY_IDS))})
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid AS query_id, vec_id, rn AS rank FROM ranked WHERE rn <= 10
+""",
+        "user_sessions": """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       SUM(CASE WHEN prev_ts IS NULL OR epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+       COUNT(*)::BIGINT AS n_events
+FROM ordered GROUP BY user_id
+""",
+        # dedup_minhash / dedup_simhash / embedding_dups / rolling_fingerprint /
+        # knn_lsh: deterministic but not SQL-expressible → rows-only checks
     }

