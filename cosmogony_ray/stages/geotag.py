@@ -105,6 +105,11 @@ class ZoneIndexData:
         self.clon = np.array(clons, dtype=np.float64)
         self.clat = np.array(clats, dtype=np.float64)
         self.admin = np.array(admins, dtype=bool)
+        # permutation rank of osm_id in sorted order → numeric tie-break key
+        order = sorted(range(len(self.ids)), key=lambda i: self.ids[i])
+        self.id_rank = np.empty(len(self.ids), dtype=np.int64)
+        for r, i in enumerate(order):
+            self.id_rank[i] = r
         self.cell_map = {c: np.array(v, dtype=np.int32) for c, v in tmp_cells.items()}
         # kNN candidate set: admin zones with a finite centroid, SORTED by
         # osm_id so a first-occurrence argmin is the deterministic tie-break
@@ -166,46 +171,67 @@ class GeotagActor:
         for ext in (t, m):
             valid = pc.is_valid(ext).to_numpy(zero_copy_only=False)
             if valid.any():
-                lo = pc.struct_field(ext, "lon").to_numpy(zero_copy_only=False)
-                la = pc.struct_field(ext, "lat").to_numpy(zero_copy_only=False)
-                vi = np.nonzero(valid)[0]
-                lon[vi] = np.array([float(x) for x in lo[vi]])
-                lat[vi] = np.array([float(x) for x in la[vi]])
+                # vectorized C string→float parse (nulls pass through)
+                lo = pc.cast(pc.struct_field(ext, "lon"), pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                la = pc.cast(pc.struct_field(ext, "lat"), pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                lon = np.where(valid, lo, lon)
+                lat = np.where(valid, la, lat)
         return doc_idx, span_idx, lon, lat
 
     # ---------------------------------------------------------------- match
     def _containing_zone(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """Per point: index of smallest covering zone, or -1."""
+        """Per point: index of smallest covering zone, or -1.
+
+        Candidate lookup iterates UNIQUE cells (points cluster heavily per
+        cell), PIP runs once per candidate zone over all its points, and the
+        (rank, area, id) argmin is a single vectorized lexsort — no per-point
+        Python in the common path."""
         idx = self.idx
         n = lon.shape[0]
+        ok = np.isfinite(lon)
         ladder_cells = idx.cells.cells_of_ladder(lon, lat)  # (L, n)
-        # points grouped per candidate zone → one vectorized PIP per zone
-        zone_points: dict[int, list[int]] = {}
-        for pi in range(n):
-            if not np.isfinite(lon[pi]):
-                continue
-            seen: set[int] = set()
-            for c in ladder_cells[:, pi]:
+        zone_points: dict[int, list[np.ndarray]] = {}
+        for li in range(ladder_cells.shape[0]):
+            cells_r = ladder_cells[li]
+            uniq, inv = np.unique(cells_r, return_inverse=True)
+            for ui, c in enumerate(uniq):
                 arr = idx.cell_map.get(int(c))
-                if arr is not None:
-                    seen.update(int(z) for z in arr)
-            for z in seen:
-                zone_points.setdefault(z, []).append(pi)
-        best = np.full(n, -1, dtype=np.int64)
-        best_key: list = [None] * n
-        for z, pts in zone_points.items():
+                if arr is None:
+                    continue
+                pts = np.nonzero((inv == ui) & ok)[0]
+                if pts.size == 0:
+                    continue
+                for z in arr:
+                    zone_points.setdefault(int(z), []).append(pts)
+        # hit rows: (point, zone) where PIP passes
+        hit_pts: list[np.ndarray] = []
+        hit_zone: list[np.ndarray] = []
+        for z, pts_list in zone_points.items():
+            pts = np.unique(np.concatenate(pts_list))
             prep = self._prep(z)
             if prep is None:
                 continue
-            pts_a = np.asarray(pts, dtype=np.int64)
-            inside = prep.covers_points(lon[pts_a], lat[pts_a])
-            if not inside.any():
-                continue
-            key = (int(idx.rank[z]), float(idx.area[z]), idx.ids[z])
-            for pi in pts_a[inside]:
-                if best_key[pi] is None or key < best_key[pi]:
-                    best_key[pi] = key
-                    best[pi] = z
+            inside = prep.covers_points(lon[pts], lat[pts])
+            if inside.any():
+                sel = pts[inside]
+                hit_pts.append(sel)
+                hit_zone.append(np.full(sel.size, z, dtype=np.int64))
+        best = np.full(n, -1, dtype=np.int64)
+        if not hit_pts:
+            return best
+        hp = np.concatenate(hit_pts)
+        hz = np.concatenate(hit_zone)
+        # argmin by (rank, area, id_rank) per point: lexsort then first-per-point
+        order = np.lexsort((idx.id_rank[hz], idx.area[hz], idx.rank[hz], hp))
+        hp_s = hp[order]
+        hz_s = hz[order]
+        first = np.ones(hp_s.size, dtype=bool)
+        first[1:] = hp_s[1:] != hp_s[:-1]
+        best[hp_s[first]] = hz_s[first]
         return best
 
     def _knn_fallback_batch(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
@@ -247,18 +273,26 @@ class GeotagActor:
             self.idx.cells.cell_of(np.nan_to_num(lon), np.nan_to_num(lat), max_res),
             -1,
         )
-        # per-doc tile lists, same order as spans
-        tiles: list[list[dict]] = [[] for _ in range(batch.num_rows)]
-        for k in range(len(doc_idx)):
-            z = int(zone_i[k])
-            tiles[int(doc_idx[k])].append(
-                {
-                    "span_index": int(span_idx[k]),
-                    "zone_osm_id": self.idx.ids[z] if z >= 0 else None,
-                    "cell_id": int(cell_ids[k]),
-                }
-            )
-        return batch.append_column("tiles", pa.array(tiles, type=pa.list_(TILE_T)))
+        # tiles list column built zero-copy from the spans offsets (span k of
+        # doc d is row k in the flat arrays — same order as the spans column)
+        if not hasattr(self, "_ids_arrow"):
+            self._ids_arrow = pa.array(self.idx.ids, type=pa.string())
+        zi = pa.array(np.where(zone_i >= 0, zone_i, 0), type=pa.int64())
+        zone_str = self._ids_arrow.take(zi)
+        zone_str = pc.if_else(pa.array(zone_i >= 0), zone_str, pa.scalar(None, pa.string()))
+        tile_struct = pa.StructArray.from_arrays(
+            [
+                pa.array(span_idx.astype(np.int32)),
+                zone_str,
+                pa.array(cell_ids, type=pa.int64()),
+            ],
+            fields=list(TILE_T),
+        )
+        spans_col = batch["spans"]
+        if isinstance(spans_col, pa.ChunkedArray):
+            spans_col = spans_col.combine_chunks()
+        tiles = pa.ListArray.from_arrays(spans_col.offsets, tile_struct)
+        return batch.append_column("tiles", tiles)
 
 
 def build_zone_index(zones: rd.Dataset, cfg: EngineConfig):
