@@ -53,6 +53,10 @@ TAGS_T = pa.map_(pa.string(), pa.string())
 ZONE_SCHEMA = pa.schema(
     [
         ("osm_id", pa.string()),       # "relation:<id>" / "node:<id>"
+        # unique engine key: equals osm_id except for voronoi-generated zones
+        # (the reference can hold two Zone records for one OSM node —
+        # base-scan + generated — distinguished only by dense id)
+        ("zone_uid", pa.string()),
         ("kind", pa.string()),
         ("name", pa.string()),
         ("admin_level", pa.int32()),

@@ -17,9 +17,11 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pyarrow as pa
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..model import ZONE_SCHEMA
 from ..sources.osm import read_osm_tables
 from ..stages.hierarchy import attach_parents, build_zone_meta, select_parents
 from ..stages.inclusion import broadcast_geometries, find_inclusion_edges
@@ -69,6 +71,28 @@ def build_cosmogony_from_datasets(
     meta = build_zone_meta(typed)
     parents = select_parents(edges, meta)
     with_parents = attach_parents(typed, parents)
+
+    if not cfg.disable_voronoi:
+        from ..stages.voronoi_zones import compute_additional_zones
+
+        with_parents = with_parents.materialize()
+        generated = compute_additional_zones(with_parents, nodes, cfg)
+        # pad generated rows to the with_parents schema (ancestors/type_status)
+        wschema = with_parents.schema()
+        extra = [
+            (n, t)
+            for n, t in zip(wschema.names, wschema.types)
+            if n not in ZONE_SCHEMA.names
+        ]
+
+        def pad(t: pa.Table) -> pa.Table:
+            for n, typ in extra:
+                t = t.append_column(n, pa.nulls(t.num_rows, type=typ))
+            return t.select(wschema.names)
+
+        with_parents = with_parents.union(
+            generated.map_batches(pad, batch_format="pyarrow")
+        )
 
     named = compute_names(with_parents).materialize()
     label_map = build_label_map(named)

@@ -57,16 +57,20 @@ class OutputFormat:
         return fmt in (OutputFormat.JSONL, OutputFormat.JSONL_GZ)
 
 
-def _osm_sort_key(osm_id: str) -> tuple[int, int]:
+def _uid_sort_key(zone_uid: str) -> tuple[int, int, int, str]:
+    """Base zones in BTreeMap<OsmId> order (nodes then relations, ascending),
+    generated zones appended after (the reference publishes voronoi zones at
+    the end, additional_zones.rs:418-423)."""
+    osm_id, _, suffix = zone_uid.partition("#")
     kind, _, num = osm_id.partition(":")
     rank = {"node": 0, "way": 1, "relation": 2}.get(kind, 3)
-    return (rank, int(num))
+    return (1 if suffix else 0, rank, int(num), suffix)
 
 
 def dense_id_map(zones: rd.Dataset) -> dict[str, int]:
-    """osm_id → dense id, deterministic (see module docstring)."""
-    ids = [r["osm_id"] for r in zones.select_columns(["osm_id"]).take_all()]
-    return {o: i for i, o in enumerate(sorted(ids, key=_osm_sort_key))}
+    """zone_uid → dense id, deterministic (see module docstring)."""
+    ids = [r["zone_uid"] for r in zones.select_columns(["zone_uid"]).take_all()]
+    return {o: i for i, o in enumerate(sorted(ids, key=_uid_sort_key))}
 
 
 def zone_row_to_json_dict(row: dict, id_map: dict[str, int]) -> dict:
@@ -81,7 +85,7 @@ def zone_row_to_json_dict(row: dict, id_map: dict[str, int]) -> dict:
         bbox = [row["minx"], row["miny"], row["maxx"], row["maxy"]]
     parent = row.get("parent")
     return {
-        "id": id_map[row["osm_id"]],
+        "id": id_map[row["zone_uid"]],
         "osm_id": row["osm_id"],
         "admin_level": row.get("admin_level"),
         "zone_type": row.get("zone_type"),
@@ -141,6 +145,7 @@ def _zone_dict_to_row(d: dict) -> dict:
     coords = c.get("coordinates") or [None, None]
     return {
         "osm_id": d["osm_id"],
+        "zone_uid": d["osm_id"],
         "kind": d["osm_id"].split(":", 1)[0],
         "name": d.get("name") or "",
         "admin_level": d.get("admin_level"),

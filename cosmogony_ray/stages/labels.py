@@ -68,12 +68,12 @@ def compute_names(zones: rd.Dataset) -> rd.Dataset:
 
 
 def build_label_map(named_zones: rd.Dataset) -> dict[str, tuple]:
-    """osm_id → (name, intl_names dict, parent). Broadcast-sized."""
+    """zone_uid → (name, intl_names dict, parent uid). Broadcast-sized."""
     m = {}
-    for b in named_zones.select_columns(["osm_id", "name", "tags", "parent"]).iter_batches(
+    for b in named_zones.select_columns(["zone_uid", "name", "tags", "parent"]).iter_batches(
         batch_size=8192, batch_format="pyarrow"
     ):
-        ids = b["osm_id"].to_pylist()
+        ids = b["zone_uid"].to_pylist()
         names = b["name"].to_pylist()
         tags = b["tags"].to_pylist()
         parents = b["parent"].to_pylist()
@@ -105,7 +105,7 @@ def _chain(osm_id: str, m: dict) -> list[str]:
 def _labels_fn(map_ref, filter_langs: tuple[str, ...]):
     def fn(batch: pa.Table) -> pa.Table:
         m = ray.get(map_ref)
-        ids = batch["osm_id"].to_pylist()
+        ids = batch["zone_uid"].to_pylist()
         zips_col = batch["zip_codes"].to_pylist()
         labels, intl_labels = [], []
         for i, osm_id in enumerate(ids):

@@ -183,6 +183,7 @@ def _build_zone_group(group: pa.Table) -> pa.Table:
 
     row = {
         "osm_id": f"relation:{rel_id}",
+        "zone_uid": f"relation:{rel_id}",
         "kind": "relation",
         "name": name,
         "admin_level": _parse_level(tags.get("admin_level")),
@@ -242,6 +243,7 @@ def _node_zones(batch: pa.Table) -> pa.Table:
         rows.append(
             {
                 "osm_id": f"node:{ids[i]}",
+                "zone_uid": f"node:{ids[i]}",
                 "kind": "node",
                 "name": name,
                 "admin_level": _parse_level(tags.get("admin_level")),
