@@ -364,6 +364,16 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, qref, k=10)
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal span features (stubbed decode, real plumbing) over the
+    fixture's interleaved docs — rows-only check."""
+    from cosmogony_ray.functions.multimodal import extract_media_features
+
+    docs = rd.read_parquet(os.path.join(_fixture_dir(), "docs.parquet"))
+    feats = extract_media_features(docs)
+    return feats.select_columns(["doc_id", "span_index", "kind", "n_bytes"])
+
+
 def _q_user_sessions(sf_dir: str):
     """Sessionization (streaming-shaped op per ray_guide): per user, events
     sorted by ts; a gap > 30 min starts a new session."""
@@ -437,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
         "user_sessions": _q_user_sessions,
+        "media_features": _q_media_features,
     }
 
 

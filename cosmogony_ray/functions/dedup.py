@@ -41,16 +41,24 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
 
-    def keep(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "text_hash": [g["text_hash"].iloc[0]],
-                "keep_doc_id": [int(g["doc_id"].min())],
-                "n_dups": [int(len(g))],
-            }
-        )
+    # partition-wise vectorized: sort by (hash, doc_id), run-length reduce
+    from .shuffle import PART_COL, add_partition_column
 
-    return hashed.groupby("text_hash").map_groups(keep, batch_format="pandas")
+    parted = hashed.map_batches(
+        lambda t: add_partition_column(t, ["text_hash"], 32), batch_format="pyarrow"
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("text_hash", sort=True)
+            .agg(keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size"))
+            .reset_index()
+        )
+        out["keep_doc_id"] = out["keep_doc_id"].astype("int64")
+        out["n_dups"] = out["n_dups"].astype("int64")
+        return out[["text_hash", "keep_doc_id", "n_dups"]]
+
+    return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pandas")
 
 
 # ------------------------------------------------------------------ minhash
@@ -115,9 +123,9 @@ def _verify_pairs_jaccard(
 
 
 def _dedup_pair_ds(pairs: rd.Dataset) -> rd.Dataset:
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from .shuffle import distinct_rows
+
+    return distinct_rows(pairs, ["doc_a", "doc_b"])
 
 
 def minhash_lsh_pairs(
@@ -155,10 +163,10 @@ def minhash_lsh_pairs(
             shingle_map[i] = s
     ref = ray.put(shingle_map)
 
-    def cand(group: pa.Table) -> pa.Table:
+    def cand(key: tuple, group: pa.Table) -> pa.Table | None:
         ids = sorted(group["doc_id"].to_pylist())
         if len(ids) < 2:
-            return _PAIR_SCHEMA.empty_table()
+            return None
         da, db = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
@@ -169,9 +177,10 @@ def minhash_lsh_pairs(
             schema=_PAIR_SCHEMA,
         )
 
-    cands = (
-        sig_ds.groupby(["band", "band_hash"])
-        .map_groups(cand, batch_format="pyarrow")
+    from .shuffle import grouped_map
+
+    cands = grouped_map(
+        sig_ds, ["band", "band_hash"], cand, empty_schema=_PAIR_SCHEMA
     )
     verified = _verify_pairs_jaccard(_dedup_pair_ds(cands), ref, threshold_pct)
     return verified
@@ -244,7 +253,11 @@ def simhash_pairs(
 
     sigs = ds.map_batches(sig, batch_format="pyarrow")
 
-    def cand(group: pa.Table) -> pa.Table:
+    _SIM_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+    )
+
+    def cand(key_: tuple, group: pa.Table) -> pa.Table | None:
         rows = sorted(zip(group["doc_id"].to_pylist(), group["sig"].to_pylist()))
         da, db, hm = [], [], []
         for i in range(len(rows)):
@@ -256,18 +269,21 @@ def simhash_pairs(
                     da.append(rows[i][0])
                     db.append(rows[j][0])
                     hm.append(h)
+        if not da:
+            return None
         return pa.table(
             {
                 "doc_a": pa.array(da, type=pa.int64()),
                 "doc_b": pa.array(db, type=pa.int64()),
                 "hamming": pa.array(hm, type=pa.int32()),
-            }
+            },
+            schema=_SIM_SCHEMA,
         )
 
-    cands = sigs.groupby(["band", "key"]).map_groups(cand, batch_format="pyarrow")
-    return cands.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from .shuffle import distinct_rows, grouped_map
+
+    cands = grouped_map(sigs, ["band", "key"], cand, empty_schema=_SIM_SCHEMA)
+    return distinct_rows(cands, ["doc_a", "doc_b"])
 
 
 # ------------------------------------------------------ embedding near-dup

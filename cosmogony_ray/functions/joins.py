@@ -1,20 +1,24 @@
 """Distributed joins for Ray Data.
 
 ``Dataset.join`` (Ray 2.49) delegates to pyarrow's acero hash join, which
-rejects nested (list/map/struct) non-key columns. ``hash_join`` here is the
-portable partitioned hash join from the Ray Data playbook: pad both sides to a
-unified schema, tag the side, ``groupby(key)`` (one shuffle), and emit the
-per-key cross product inside ``map_groups`` — nested columns ride along
-untouched. Use ``Dataset.join`` for flat schemas; use this when a side
-carries nested payloads (geometry lists, tag maps, span structs).
-"""
+rejects nested (list/map/struct) non-key columns, and its aggregator-actor
+CPU reservation can starve upstream stages on small clusters (observed
+deadlock at 4 CPUs). ``hash_join`` here is the portable partitioned hash
+join from the Ray Data playbook: pad both sides to a unified schema, tag the
+side, hash-bucket the key into ``num_partitions``, ``groupby(bucket)`` (one
+shuffle), and join each bucket with ONE vectorized call (pandas merge on
+integer row indices + Arrow take) — nested columns ride along untouched and
+there is no per-key Python overhead."""
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from .shuffle import PART_COL, add_partition_column
 
 _SIDE = "__join_side__"
 
@@ -27,6 +31,7 @@ def hash_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
+    num_partitions: int = 32,
 ) -> rd.Dataset:
     """Join two Datasets on ``key`` (same name both sides), preserving nested
     column types. ``how``: "inner" or "left" (left outer).
@@ -34,11 +39,6 @@ def hash_join(
     Column names (other than the key) must be disjoint between the sides.
     Pass ``left_schema``/``right_schema`` when known to avoid the sample
     execution that ``Dataset.schema()`` triggers on lazy map chains.
-
-    Note: prefer this over ``Dataset.join`` even for flat schemas on small
-    clusters — the native join operator reserves ``num_partitions`` aggregator
-    CPUs up front and can starve its own upstream stages (observed deadlock at
-    4 CPUs); this groupby-based join has no such reservation.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
@@ -63,13 +63,17 @@ def hash_join(
             cols = {}
             for f in unified:
                 if f.name == _SIDE:
-                    cols[f.name] = pa.array([side] * t.num_rows, type=pa.int8())
+                    cols[f.name] = pa.array(
+                        np.full(t.num_rows, side, dtype=np.int8), type=pa.int8()
+                    )
                 elif f.name in t.column_names:
                     col = t[f.name]
                     cols[f.name] = col.cast(f.type) if col.type != f.type else col
                 else:
                     cols[f.name] = pa.nulls(t.num_rows, type=f.type)
-            return pa.table(cols, schema=unified)
+            return add_partition_column(
+                pa.table(cols, schema=unified), [key], num_partitions
+            )
 
         return fn
 
@@ -77,24 +81,34 @@ def hash_join(
         right.map_batches(pad(1), batch_format="pyarrow")
     )
 
-    def join_group(g: pa.Table) -> pa.Table:
-        side = np.asarray(g[_SIDE].to_numpy(zero_copy_only=False))
+    def join_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns([PART_COL])
+        side = g[_SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
         lt = g.filter(pa.array(lmask)).select(lcols)
-        rt = g.filter(pa.array(~lmask)).select(rcols)
-        nl, nr = lt.num_rows, rt.num_rows
-        if nl == 0:
+        rt = g.filter(pa.array(~lmask)).select([key] + rcols)
+        if lt.num_rows == 0:
             return out_schema.empty_table()
-        if nr == 0:
-            if how == "left":
-                cols = {c: lt[c] for c in lcols}
-                cols.update({c: pa.nulls(nl, type=rtypes[c]) for c in rcols})
-                return pa.table(cols, schema=out_schema)
+        lk = pd.DataFrame(
+            {key: lt[key].to_pandas(), "__li": np.arange(lt.num_rows, dtype=np.int64)}
+        )
+        rk = pd.DataFrame(
+            {key: rt[key].to_pandas(), "__ri": np.arange(rt.num_rows, dtype=np.int64)}
+        )
+        m = lk.merge(rk, on=key, how="inner" if how == "inner" else "left")
+        if m.empty:
             return out_schema.empty_table()
-        li = np.repeat(np.arange(nl, dtype=np.int64), nr)
-        ri = np.tile(np.arange(nr, dtype=np.int64), nl)
-        cols = {c: lt[c].take(pa.array(li)) for c in lcols}
-        cols.update({c: rt[c].take(pa.array(ri)) for c in rcols})
+        li = pa.array(m["__li"].to_numpy())
+        cols = {c: lt[c].take(li) for c in lcols}
+        if how == "left":
+            # null indices → null output rows; works for nested types too
+            ri = pa.array(m["__ri"].astype("Int64"))
+            for c in rcols:
+                cols[c] = rt[c].take(ri)
+        else:
+            ri = pa.array(m["__ri"].to_numpy().astype(np.int64))
+            for c in rcols:
+                cols[c] = rt[c].take(ri)
         return pa.table(cols, schema=out_schema)
 
-    return unioned.groupby(key).map_groups(join_group, batch_format="pyarrow")
+    return unioned.groupby(PART_COL).map_groups(join_partition, batch_format="pyarrow")

@@ -34,15 +34,14 @@ def partial_groupby_sum(
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        row = {k: [group[k].iloc[0]] for k in keys}
-        for out in sums:
-            row[out] = [group[out].sum()]
-        if counts is not None:
-            row[counts] = [group[counts].sum()]
-        return pd.DataFrame(row)
+    # final combine: NATIVE grouped Sum (block-wise vectorized — never
+    # per-group Python) over the small partials
+    from ray.data.aggregate import Sum
 
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    aggs = [Sum(out, alias_name=out) for out in sums]
+    if counts is not None:
+        aggs.append(Sum(counts, alias_name=counts))
+    return partials.groupby(keys).aggregate(*aggs)
 
 
 def top_k(ds: rd.Dataset, by: list[str], k: int, descending: bool = True) -> rd.Dataset:
@@ -52,7 +51,8 @@ def top_k(ds: rd.Dataset, by: list[str], k: int, descending: bool = True) -> rd.
 
 
 def distinct(ds: rd.Dataset, keys: list[str]) -> rd.Dataset:
-    """Exact distinct on keys (hash-partition + per-group first)."""
-    return ds.groupby(keys).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    """Exact distinct on keys (hash-partition + vectorized in-partition
+    drop-duplicates)."""
+    from .shuffle import distinct_rows
+
+    return distinct_rows(ds, keys)

@@ -1,0 +1,108 @@
+"""Partition-wise grouped execution.
+
+``Dataset.groupby(key).map_groups(fn)`` invokes ``fn`` once per DISTINCT KEY
+— a Python call (plus table slicing) per group, which collapses at high key
+cardinality (measured: 8× slowdown growing CPUs on a small build, since the
+per-group overhead dominates). The scalable shape is the explicit
+partitioned shuffle (ray_guide "Joins and lookups"): hash the key into
+``num_partitions`` buckets, ``groupby(bucket)`` once, and process each
+bucket with ONE vectorized call that iterates contiguous key runs locally.
+
+``grouped_map`` is the reusable primitive; ``iter_key_groups`` yields
+zero-copy contiguous slices per key after one in-partition sort."""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+PART_COL = "__part__"
+
+
+def add_partition_column(
+    t: pa.Table, keys: list[str], num_partitions: int
+) -> pa.Table:
+    """Deterministic hash-bucket column over the key columns (vectorized)."""
+    df = pd.DataFrame({k: t[k].to_pandas() for k in keys})
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return t.append_column(PART_COL, pa.array(part, type=pa.int32()))
+
+
+def iter_key_groups(t: pa.Table, keys: list[str]) -> Iterator[tuple[tuple, pa.Table]]:
+    """Sort by keys once, then yield (key_tuple, zero-copy slice) per key."""
+    if t.num_rows == 0:
+        return
+    t = t.sort_by([(k, "ascending") for k in keys])
+    key_arrs = [t[k].to_numpy(zero_copy_only=False) for k in keys]
+    n = t.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for arr in key_arrs:
+        change[1:] |= arr[1:] != arr[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    for s, e in zip(starts, ends):
+        yield tuple(arr[s] for arr in key_arrs), t.slice(s, e - s)
+
+
+def grouped_map(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn: Callable[[tuple, pa.Table], pa.Table | None],
+    *,
+    num_partitions: int = 32,
+    empty_schema: pa.Schema,
+) -> rd.Dataset:
+    """Apply ``fn(key_tuple, group_table) -> Table|None`` to every key group,
+    with ONE Ray task per hash partition (not per key)."""
+
+    parted = ds.map_batches(
+        lambda t: add_partition_column(t, keys, num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        part = part.drop_columns([PART_COL])
+        outs = []
+        for key, g in iter_key_groups(part, keys):
+            r = fn(key, g)
+            if r is not None and r.num_rows > 0:
+                outs.append(r)
+        if not outs:
+            return empty_schema.empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+    return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pyarrow")
+
+
+def distinct_rows(
+    ds: rd.Dataset, keys: list[str], *, num_partitions: int = 32
+) -> rd.Dataset:
+    """Exact distinct on key columns — partition-wise vectorized
+    drop-duplicates (first occurrence after in-partition key sort)."""
+
+    parted = ds.map_batches(
+        lambda t: add_partition_column(t, keys, num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        part = part.drop_columns([PART_COL])
+        if part.num_rows == 0:
+            return part
+        part = part.sort_by([(k, "ascending") for k in keys])
+        arrs = [part[k].to_numpy(zero_copy_only=False) for k in keys]
+        keep = np.zeros(part.num_rows, dtype=bool)
+        keep[0] = True
+        for arr in arrs:
+            keep[1:] |= arr[1:] != arr[:-1]
+        return part.filter(pa.array(keep))
+
+    return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pyarrow")

@@ -98,6 +98,13 @@ def build_cosmogony_from_datasets(
     label_map = build_label_map(named)
     labeled = compute_labels(named, label_map, cfg)
 
-    final = clean_untagged_zones(labeled).materialize()
+    # public schema only: working columns (ancestors, type_status) stay
+    # internal — object-array columns also break Ray's pandas tensor cast in
+    # downstream grouped aggregations
+    final = (
+        clean_untagged_zones(labeled)
+        .select_columns(list(ZONE_SCHEMA.names))
+        .materialize()
+    )
     stats = compute_stats(final, typed) if with_stats else {}
     return CosmogonyResult(zones=final, edges=edges, stats=stats)

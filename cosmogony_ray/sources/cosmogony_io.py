@@ -119,12 +119,20 @@ def write_zones(zones: rd.Dataset, path: str, meta: dict | None = None) -> None:
     gz = fmt in (OutputFormat.JSON_GZ, OutputFormat.JSONL_GZ)
     opener = (lambda p: gzip.open(p, "wt")) if gz else (lambda p: open(p, "w"))
     streaming = OutputFormat.is_streamable(fmt)
+    # rows in dense-id order, like the reference's zones vector
+    ordered = zones.map_batches(
+        lambda t: t.append_column(
+            "__dense__",
+            pa.array([id_map[u] for u in t["zone_uid"].to_pylist()], type=pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).sort("__dense__")
     with opener(path) as f:
         if not streaming:
             f.write('{"zones":[')
         first = True
-        for b in zones.iter_batches(batch_size=1024, batch_format="pyarrow"):
-            for row in b.to_pylist():
+        for b in ordered.iter_batches(batch_size=1024, batch_format="pyarrow"):
+            for row in b.drop_columns(["__dense__"]).to_pylist():
                 d = zone_row_to_json_dict(row, id_map)
                 s = json.dumps(d, ensure_ascii=False)
                 if streaming:

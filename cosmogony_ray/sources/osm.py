@@ -12,9 +12,18 @@ import os
 import ray.data as rd
 
 
+def _read_sized(path: str) -> rd.Dataset:
+    """Block count proportional to bytes (16 MiB/block, capped) — a tiny
+    table must not explode into dozens of near-empty blocks whose per-task
+    overhead then dominates every downstream shuffle."""
+    size = os.path.getsize(path)
+    blocks = max(1, min(64, size // (16 << 20)))
+    return rd.read_parquet(path, override_num_blocks=int(blocks))
+
+
 def read_osm_tables(dir_path: str) -> tuple[rd.Dataset, rd.Dataset, rd.Dataset]:
     """(relations, ways, nodes) Datasets from ``<dir>/{relations,ways,nodes}.parquet``."""
-    relations = rd.read_parquet(os.path.join(dir_path, "relations.parquet"))
-    ways = rd.read_parquet(os.path.join(dir_path, "ways.parquet"))
-    nodes = rd.read_parquet(os.path.join(dir_path, "nodes.parquet"))
+    relations = _read_sized(os.path.join(dir_path, "relations.parquet"))
+    ways = _read_sized(os.path.join(dir_path, "ways.parquet"))
+    nodes = _read_sized(os.path.join(dir_path, "nodes.parquet"))
     return relations, ways, nodes

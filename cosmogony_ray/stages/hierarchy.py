@@ -23,6 +23,7 @@ import ray
 import ray.data as rd
 
 from ..functions.joins import hash_join
+from ..functions.shuffle import grouped_map
 from ..model import ZONE_TYPE_RANK
 
 _PARENT_SCHEMA = pa.schema([("osm_id", pa.string()), ("parent", pa.string())])
@@ -49,25 +50,24 @@ def _is_admin(rank: int | None) -> bool:
 
 
 def _select_parent_fn(meta_ref):
-    def fn(group: pa.Table) -> pa.Table:
-        meta = ray.get(meta_ref)
-        child = group["child"][0].as_py()
+    def fn(key: tuple, group: pa.Table) -> pa.Table | None:
+        meta = ray.get(meta_ref)  # plasma-local after first call per worker
+        child = key[0]
         c_rank, _ = meta.get(child, (None, 0.0))
         child_admin = _is_admin(c_rank)
         best = None
         best_key = None
-        for i in range(group.num_rows):
-            p = group["parent"][i].as_py()
+        for p in group["parent"].to_pylist():
             p_rank, p_area = meta.get(p, (None, 0.0))
             if not _is_admin(p_rank):
                 continue
             if child_admin and not (c_rank < p_rank):
                 continue
-            key = (p_rank, p_area, p)
-            if best_key is None or key < best_key:
-                best, best_key = p, key
+            k = (p_rank, p_area, p)
+            if best_key is None or k < best_key:
+                best, best_key = p, k
         if best is None:
-            return _PARENT_SCHEMA.empty_table()
+            return None
         return pa.table(
             {"osm_id": pa.array([child]), "parent": pa.array([best])},
             schema=_PARENT_SCHEMA,
@@ -79,8 +79,8 @@ def _select_parent_fn(meta_ref):
 def select_parents(edges: rd.Dataset, meta: dict) -> rd.Dataset:
     """edges (child,parent,parent_area) → (osm_id, parent) winners."""
     meta_ref = ray.put(meta)
-    return edges.groupby("child").map_groups(
-        _select_parent_fn(meta_ref), batch_format="pyarrow"
+    return grouped_map(
+        edges, ["child"], _select_parent_fn(meta_ref), empty_schema=_PARENT_SCHEMA
     )
 
 

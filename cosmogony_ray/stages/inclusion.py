@@ -38,6 +38,7 @@ import ray
 import ray.data as rd
 
 from ..config import EngineConfig
+from ..functions.shuffle import distinct_rows, grouped_map
 from ..geom.predicates import PreparedPolygon, covers
 from ..geom.wkb import multipolygon_from_wkb
 
@@ -109,7 +110,7 @@ def _covering_rows_fn(cfg: EngineConfig):
     return fn
 
 
-def _emit_candidates(group: pa.Table) -> pa.Table:
+def _emit_candidates(key: tuple, group: pa.Table) -> pa.Table:
     role = group["role"].to_numpy(zero_copy_only=False)
     bmask = role == 0
     pmask = role == 1
@@ -144,8 +145,6 @@ def _emit_candidates(group: pa.Table) -> pa.Table:
     )
 
 
-def _dedup_pairs(group: pa.Table) -> pa.Table:
-    return group.select(["child", "parent", "parent_area"]).slice(0, 1)
 
 
 class CoversTester:
@@ -217,12 +216,10 @@ def find_inclusion_edges(
     cover = lite.map_batches(
         _covering_rows_fn(cfg), batch_format="pyarrow", batch_size=cfg.zone_batch_size
     )
-    cands = cover.groupby(["cell", "salt"]).map_groups(
-        _emit_candidates, batch_format="pyarrow"
+    cands = grouped_map(
+        cover, ["cell", "salt"], _emit_candidates, empty_schema=_CAND_SCHEMA
     )
-    dedup = cands.groupby(["child", "parent"]).map_groups(
-        _dedup_pairs, batch_format="pyarrow"
-    )
+    dedup = distinct_rows(cands, ["child", "parent"])
     if geom_ref is None:
         geom_ref = broadcast_geometries(boundary_zones)
     edges = dedup.map_batches(

@@ -12,7 +12,7 @@ import ray.data as rd
 
 def _count_by(ds: rd.Dataset, col: str) -> dict:
     out = {}
-    for row in ds.groupby(col).count().take_all():
+    for row in ds.select_columns([col]).groupby(col).count().take_all():
         out[row[col]] = row["count()"]
     return out
 

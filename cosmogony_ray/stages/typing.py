@@ -27,6 +27,7 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.joins import hash_join
+from ..functions.shuffle import grouped_map
 from ..model import ZONE_SCHEMA
 from ..state.country import COUNTRY_CODE_TAG, CountryFinder
 from ..state.rules import ZoneTyper
@@ -34,22 +35,22 @@ from ..state.rules import ZoneTyper
 ANCESTORS_T = pa.list_(pa.string())
 
 
-def _collect_ancestors(group: pa.Table) -> pa.Table:
-    order = sorted(
-        range(group.num_rows),
-        key=lambda i: (group["parent_area"][i].as_py(), group["parent"][i].as_py()),
-    )
-    parents = [group["parent"][i].as_py() for i in order]
+_ANC_SCHEMA = pa.schema([("osm_id", pa.string()), ("ancestors", pa.list_(pa.string()))])
+
+
+def _collect_ancestors(key: tuple, group: pa.Table) -> pa.Table:
+    g = group.sort_by([("parent_area", "ascending"), ("parent", "ascending")])
     return pa.table(
         {
-            "osm_id": pa.array([group["child"][0].as_py()], type=pa.string()),
-            "ancestors": pa.array([parents], type=ANCESTORS_T),
-        }
+            "osm_id": pa.array([key[0]], type=pa.string()),
+            "ancestors": pa.array([g["parent"].to_pylist()], type=ANCESTORS_T),
+        },
+        schema=_ANC_SCHEMA,
     )
 
 
 def attach_ancestors(zones: rd.Dataset, edges: rd.Dataset) -> rd.Dataset:
-    anc = edges.groupby("child").map_groups(_collect_ancestors, batch_format="pyarrow")
+    anc = grouped_map(edges, ["child"], _collect_ancestors, empty_schema=_ANC_SCHEMA)
     return hash_join(
         zones,
         anc,

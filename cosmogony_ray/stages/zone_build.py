@@ -30,6 +30,7 @@ import ray.data as rd
 from ..config import EngineConfig
 from ..functions.arrowtools import explode_list_column, map_to_pydicts, tags_get
 from ..functions.joins import hash_join
+from ..functions.shuffle import grouped_map
 from ..geom.algorithms import (
     assemble_rings,
     build_polygons,
@@ -75,16 +76,22 @@ def _way_points(batch: pa.Table) -> pa.Table:
     return explode_list_column(t, "node_ids", ["way_id"], pos_col="pos")
 
 
-def _assemble_way(group: pa.Table) -> pa.Table:
+_WAY_GEO_SCHEMA = pa.schema(
+    [("way_id", pa.int64()), ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]
+)
+
+
+def _assemble_way(key: tuple, group: pa.Table) -> pa.Table:
     g = group.sort_by([("pos", "ascending")])
     # explicit list<f64> (NOT numpy-in-pandas, which becomes a tensor
     # extension type that pyarrow's join kernel rejects)
     return pa.table(
         {
-            "way_id": pa.array([g["way_id"][0].as_py()], type=pa.int64()),
+            "way_id": pa.array([key[0]], type=pa.int64()),
             "xs": pa.array([g["lon"].to_pylist()], type=pa.list_(pa.float64())),
             "ys": pa.array([g["lat"].to_pylist()], type=pa.list_(pa.float64())),
-        }
+        },
+        schema=_WAY_GEO_SCHEMA,
     )
 
 
@@ -119,14 +126,14 @@ def _part_table(cols: dict) -> pa.Table:
     return pa.table(data, schema=_PART_SCHEMA)
 
 
-def _build_zone_group(group: pa.Table) -> pa.Table:
+def _build_zone_group(key: tuple, group: pa.Table) -> pa.Table:
     """One relation's parts → 0..1 Zone rows (from_osm_relation,
     /root/reference/src/zone_ext.rs:118-234)."""
     src = group["src"].to_pylist()
     rel_rows = [i for i, s in enumerate(src) if s == "rel"]
     if not rel_rows:
         return _empty_zone_table()
-    rel_id = group["rel_id"][rel_rows[0]].as_py()
+    rel_id = key[0]
     tags = dict(group["tags"][rel_rows[0]].as_py() or [])
     name = tags.get("name")
     if not name:
@@ -307,7 +314,7 @@ def assemble_zones(
             [("node_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
         ),
     )
-    way_geo = wp.groupby("way_id").map_groups(_assemble_way, batch_format="pyarrow")
+    way_geo = grouped_map(wp, ["way_id"], _assemble_way, empty_schema=_WAY_GEO_SCHEMA)
 
     # --- member branches --------------------------------------------------
     way_members = members.map_batches(
@@ -412,8 +419,8 @@ def assemble_zones(
     )
 
     parts = rel_part.union(wm_part, nm_part)
-    rel_zones = parts.groupby("rel_id").map_groups(
-        _build_zone_group, batch_format="pyarrow"
+    rel_zones = grouped_map(
+        parts, ["rel_id"], _build_zone_group, empty_schema=ZONE_SCHEMA
     )
     node_zones = nodes.map_batches(_node_zones, batch_format="pyarrow")
     return rel_zones.union(node_zones)
