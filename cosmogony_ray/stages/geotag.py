@@ -198,11 +198,17 @@ class GeotagActor:
         for li in range(ladder_cells.shape[0]):
             cells_r = ladder_cells[li]
             uniq, inv = np.unique(cells_r, return_inverse=True)
-            for ui, c in enumerate(uniq):
-                arr = idx.cell_map.get(int(c))
+            # argsort grouping: O(n log n) total, not O(n·U) boolean scans
+            order = np.argsort(inv, kind="stable")
+            sorted_inv = inv[order]
+            starts = np.searchsorted(sorted_inv, np.arange(uniq.size))
+            ends = np.append(starts[1:], inv.size)
+            for ui in range(uniq.size):
+                arr = idx.cell_map.get(int(uniq[ui]))
                 if arr is None:
                     continue
-                pts = np.nonzero((inv == ui) & ok)[0]
+                pts = order[starts[ui] : ends[ui]]
+                pts = pts[ok[pts]]
                 if pts.size == 0:
                     continue
                 for z in arr:
