@@ -331,3 +331,21 @@ def tiles_table(tagged: rd.Dataset) -> rd.Dataset:
         lambda t: explode_list_column(t, "tiles", ["doc_id"]),
         batch_format="pyarrow",
     )
+
+
+def write_tiles(tagged: rd.Dataset, out_dir: str) -> None:
+    """Per-zone tile sink (shuffle #4, SURVEY §7.3): hive-partitioned parquet
+    ``out_dir/zone_osm_id=<zone>/...`` — one directory per zone so reruns and
+    per-zone consumers address partitions independently. The osm_id's ':' is
+    encoded as '_' for path safety."""
+    ds = tiles_table(tagged).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("zone_osm_id"),
+            "zone_osm_id",
+            pa.compute.replace_substring(
+                pa.compute.fill_null(t["zone_osm_id"], "none"), ":", "_"
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    ds.write_parquet(out_dir, partition_cols=["zone_osm_id"])

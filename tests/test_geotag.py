@@ -93,3 +93,25 @@ def test_matches_bruteforce_oracle(tagged_and_zones):
             assert tile["zone_osm_id"] == oracle(lon, lat), (lon, lat)
             checked += 1
     assert checked > 100
+
+
+def test_write_tiles_partitioned(ray_session, mini_lux_dir, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from cosmogony_ray.stages.geotag import build_zone_index, geotag_docs, write_tiles
+
+    cfg = EngineConfig(rules_dir=os.path.join(mini_lux_dir, "rules"))
+    from cosmogony_ray.pipelines.cosmogony import build_cosmogony
+
+    cosmo = build_cosmogony(mini_lux_dir, cfg, with_stats=False)
+    idx = build_zone_index(cosmo.zones, cfg)
+    docs = rd.read_parquet(os.path.join(mini_lux_dir, "docs.parquet"))
+    out = str(tmp_path / "tiles")
+    write_tiles(geotag_docs(docs, idx, cfg), out)
+    parts = glob.glob(os.path.join(out, "zone_osm_id=*"))
+    assert len(parts) > 5  # one dir per zone
+    back = rd.read_parquet(out).to_pandas()
+    orig = rd.read_parquet(os.path.join(mini_lux_dir, "docs.parquet")).to_pandas()
+    assert len(back) == sum(len(s) for s in orig["spans"])
