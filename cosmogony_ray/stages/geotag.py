@@ -252,19 +252,27 @@ class GeotagActor:
         idx = self.idx
         if idx.knn_idx.size == 0:
             return np.full(lon.shape[0], -1, dtype=np.int64)
-        best = np.full(lon.shape[0], -1, dtype=np.int64)
-        best_d = np.full(lon.shape[0], np.inf)
-        chunk = 65536
-        for s in range(0, idx.knn_idx.size, chunk):
-            d = _haversine(
-                lon[:, None], lat[:, None],
-                idx.knn_lon[None, s : s + chunk], idx.knn_lat[None, s : s + chunk],
+        if not hasattr(self, "_knn_rad"):
+            # candidate radians precomputed once per actor
+            self._knn_rad = (
+                np.radians(idx.knn_lon),
+                np.radians(idx.knn_lat),
+                np.cos(np.radians(idx.knn_lat)),
             )
-            ci = np.argmin(d, axis=1)  # first min = smallest osm_id on ties
-            cd = d[np.arange(d.shape[0]), ci]
-            better = cd < best_d
-            best[better] = idx.knn_idx[s + ci[better]]
-            best_d[better] = cd[better]
+        clon_r, clat_r, ccos = self._knn_rad
+        best = np.full(lon.shape[0], -1, dtype=np.int64)
+        # chunk over POINTS so the (chunk × n_candidates) temporaries stay
+        # cache-sized — full-batch matrices caused an allocation storm that
+        # collapsed multi-actor scaling
+        chunk = max(1, (1 << 19) // max(1, idx.knn_idx.size))
+        for s in range(0, lon.shape[0], chunk):
+            plon = np.radians(lon[s : s + chunk])[:, None]
+            plat = np.radians(lat[s : s + chunk])[:, None]
+            sd_lat = np.sin((clat_r[None, :] - plat) / 2)
+            sd_lon = np.sin((clon_r[None, :] - plon) / 2)
+            a = sd_lat * sd_lat + np.cos(plat) * ccos[None, :] * sd_lon * sd_lon
+            ci = np.argmin(a, axis=1)  # monotone in distance; first min = smallest id
+            best[s : s + chunk] = idx.knn_idx[ci]
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
