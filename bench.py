@@ -36,7 +36,7 @@ SPANS_PER_DOC = 4
 # input docs are replicated so the geotag stage is compute-dominated (the
 # scaling-efficiency criterion needs work >> fixed overheads); the SAME
 # replicated input is used at every parallelism level
-DOC_REPLICATION = int(os.environ.get("BENCH_DOC_REPL", "40"))
+DOC_REPLICATION = int(os.environ.get("BENCH_DOC_REPL", "100"))
 
 
 def run_bench() -> dict:

@@ -19,6 +19,7 @@ from .synth import MEMBER_T, TAGS_T
 # admin_level per depth and its zone type
 _LEVELS = [
     (2, "country"),
+    (3, "country_region"),
     (4, "state"),
     (6, "state_district"),
     (8, "city"),

@@ -15,6 +15,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
+from .cluster import default_pool
 
 
 def _as_matrix(col) -> np.ndarray:
@@ -93,7 +94,7 @@ def knn_brute(
         },
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 8),
+        concurrency=default_pool(),
         num_cpus=1,
     )
 

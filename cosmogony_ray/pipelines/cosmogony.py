@@ -24,7 +24,7 @@ from ..config import EngineConfig
 from ..model import ZONE_SCHEMA
 from ..sources.osm import read_osm_tables
 from ..stages.hierarchy import attach_parents, build_zone_meta, select_parents
-from ..stages.inclusion import broadcast_geometries, find_inclusion_edges
+from ..stages.inclusion import find_inclusion_edges
 from ..stages.labels import (
     build_label_map,
     clean_untagged_zones,
@@ -32,7 +32,7 @@ from ..stages.labels import (
     compute_names,
 )
 from ..stages.stats import compute_stats
-from ..stages.typing import attach_ancestors, build_country_finder, type_zones
+from ..stages.typing import attach_ancestors, type_zones
 from ..stages.zone_build import assemble_zones
 from ..state.rules import ZoneTyper
 
@@ -58,13 +58,22 @@ def build_cosmogony_from_datasets(
     cfg: EngineConfig,
     with_stats: bool = True,
 ) -> CosmogonyResult:
+    import ray
+
+    from ..stages.zone_state import collect_zone_state
+    from ..state.country import CountryFinder
+
+    # compact before materializing: the zones table is small — dozens of
+    # shuffle-shaped blocks would make every driver scan and downstream
+    # stage latency-bound
     zones = assemble_zones(relations, ways, nodes, cfg).materialize()
 
-    geom_ref = broadcast_geometries(zones)
+    state = collect_zone_state(zones)  # ONE driver pass for all broadcast maps
+    geom_ref = ray.put(state.geoms)
     edges = find_inclusion_edges(zones, cfg, geom_ref).materialize()
 
     typer = ZoneTyper.from_dir(cfg.rules_dir)
-    finder = build_country_finder(zones, typer)
+    finder = CountryFinder.from_zone_rows(state.country_rows, typer)
     zones_anc = attach_ancestors(zones, edges)
     typed = type_zones(zones_anc, cfg, finder).materialize()
 

@@ -41,6 +41,7 @@ from ..config import EngineConfig
 from ..functions.shuffle import distinct_rows, grouped_map
 from ..geom.predicates import PreparedPolygon, covers
 from ..geom.wkb import multipolygon_from_wkb
+from ..functions.cluster import default_pool
 
 _CAND_SCHEMA = pa.schema(
     [("child", pa.string()), ("parent", pa.string()), ("parent_area", pa.float64())]
@@ -227,7 +228,7 @@ def find_inclusion_edges(
         fn_constructor_kwargs={"geom_ref": geom_ref},
         batch_format="pyarrow",
         batch_size=cfg.zone_batch_size,
-        concurrency=(1, 8),
+        concurrency=default_pool(cap=16),
         num_cpus=1,
     )
     return edges

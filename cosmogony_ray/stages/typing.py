@@ -31,6 +31,7 @@ from ..functions.shuffle import grouped_map
 from ..model import ZONE_SCHEMA
 from ..state.country import COUNTRY_CODE_TAG, CountryFinder
 from ..state.rules import ZoneTyper
+from ..functions.cluster import default_pool
 
 ANCESTORS_T = pa.list_(pa.string())
 
@@ -136,6 +137,6 @@ def type_zones(
         },
         batch_format="pyarrow",
         batch_size=cfg.zone_batch_size,
-        concurrency=(1, 8),
+        concurrency=default_pool(cap=16),
         num_cpus=1,
     )

@@ -1,0 +1,43 @@
+"""One-pass driver collection of all broadcast zone-side state.
+
+The pipeline needs four small broadcast maps (geometry WKB, country finder
+rows, zone meta, label inputs). Scanning the materialized zones table four
+times costs ~4 driver-serial seconds per build; this module folds whatever is
+available in a single ``iter_batches`` pass with column pruning."""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..model import ZONE_TYPE_RANK
+from ..state.country import COUNTRY_CODE_TAG
+
+
+class ZoneStateMaps:
+    def __init__(self):
+        self.geoms: dict[str, bytes] = {}           # osm_id → WKB
+        self.country_rows: list[tuple] = []         # (osm_id, tags, admin_level)
+        self.meta: dict[str, tuple] = {}            # osm_id → (rank|None, area)
+
+
+def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
+    out = ZoneStateMaps()
+    cols = ["osm_id", "boundary_wkb", "tags", "admin_level", "zone_type", "area"]
+    for b in zones.select_columns(cols).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        ids = b["osm_id"].to_pylist()
+        wkbs = b["boundary_wkb"].to_pylist()
+        lvls = b["admin_level"].to_pylist()
+        types = b["zone_type"].to_pylist()
+        areas = b["area"].to_pylist()
+        tags_col = b["tags"].to_pylist()
+        for i in range(len(ids)):
+            if wkbs[i] is not None:
+                out.geoms[ids[i]] = wkbs[i]
+            t = dict(tags_col[i] or [])
+            if COUNTRY_CODE_TAG in t:
+                out.country_rows.append((ids[i], t, lvls[i]))
+            rank = ZONE_TYPE_RANK.get(types[i]) if types[i] is not None else None
+            out.meta[ids[i]] = (rank, areas[i] if areas[i] is not None else 0.0)
+    return out
