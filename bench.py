@@ -138,16 +138,18 @@ def run_bench() -> dict:
     # handful of fat blocks would cap the pool at a handful of tasks
     docs = (
         rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id"])
-        .map_batches(mk_docs, batch_format="pyarrow")
+        .repartition(NUM_CPUS * 2)  # parallelize the synthesis itself
+        .map_batches(mk_docs, batch_format="pyarrow", batch_size=256)
         .repartition(NUM_CPUS * 4)
         .materialize()
     )
 
     idx_ref = build_zone_index(cosmo.zones, cfg)
-    # warm the FULL actor pool with an untimed full pass (limit() only
-    # touches the first blocks and leaves most actors cold) — the timed
-    # number is steady-state throughput
-    geotag_docs(docs, idx_ref, cfg).count()
+    # warm the FULL actor pool untimed: enough leading blocks to give every
+    # actor at least one task (blocks = NUM_CPUS*4, pool = NUM_CPUS-2)
+    n_docs = docs.count()
+    warm_rows = int(n_docs * (pool + 2) * 1.5 / (NUM_CPUS * 4))
+    geotag_docs(docs.limit(max(warm_rows, 10_000)), idx_ref, cfg).count()
     t0 = time.time()
     tagged = geotag_docs(docs, idx_ref, cfg)
     import pyarrow.compute as _pc
