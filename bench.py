@@ -51,6 +51,7 @@ def run_bench() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            object_store_memory=50 * 1024**3,
         )
     import ray.data as rd
     from ray.data import DataContext
