@@ -21,6 +21,7 @@ _LEVELS = [
     (2, "country"),
     (3, "country_region"),
     (4, "state"),
+    (5, "state"),          # two state tiers — same type, finer level
     (6, "state_district"),
     (8, "city"),
     (9, "city_district"),

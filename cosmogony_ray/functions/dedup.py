@@ -105,7 +105,9 @@ def _verify_pairs_jaccard(
     import ray
 
     def verify(t: pa.Table) -> pa.Table:
-        m = ray.get(shingle_map_ref)
+        from .broadcast import get_cached
+
+        m = get_cached(shingle_map_ref)
         keep = []
         da = t["doc_a"].to_pylist()
         db = t["doc_b"].to_pylist()

@@ -136,8 +136,10 @@ def knn_lsh(
     )
 
     def bucketize(t: pa.Table) -> pa.Table:
-        pm = ray.get(planes_ref)
-        want = ray.get(wanted)
+        from .broadcast import get_cached
+
+        pm = get_cached(planes_ref)
+        want = get_cached(wanted)
         m = _normalize(_as_matrix(t[vec_col].to_pylist()))
         bits = ((pm @ m.T) > 0).astype(np.uint32)
         buckets = (bits.T @ (1 << np.arange(planes, dtype=np.uint32))).astype(np.int64)

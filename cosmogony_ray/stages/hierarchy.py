@@ -50,8 +50,10 @@ def _is_admin(rank: int | None) -> bool:
 
 
 def _select_parent_fn(meta_ref):
+    from ..functions.broadcast import get_cached
+
     def fn(key: tuple, group: pa.Table) -> pa.Table | None:
-        meta = ray.get(meta_ref)  # plasma-local after first call per worker
+        meta = get_cached(meta_ref)  # deserialized once per worker
         child = key[0]
         c_rank, _ = meta.get(child, (None, 0.0))
         child_admin = _is_admin(c_rank)

@@ -225,7 +225,9 @@ def _make_zone_row(place: dict, uid: str, parent_uid: str, mpoly) -> dict:
 
 def _voronoi_group_fn(state_ref):
     def fn(group: pa.Table) -> pa.Table:
-        state: ZoneState = ray.get(state_ref)
+        from ..functions.broadcast import get_cached
+
+        state: ZoneState = get_cached(state_ref)
         rows = group.to_pylist()
         rows.sort(key=lambda r: r["osm_id"])
         parent_uid = rows[0]["parent_uid"]
@@ -294,7 +296,9 @@ def compute_additional_zones(
     places = read_places(nodes)
 
     def pair_fn(batch: pa.Table) -> pa.Table:
-        st: ZoneState = ray.get(state_ref)
+        from ..functions.broadcast import get_cached
+
+        st: ZoneState = get_cached(state_ref)
         rows = batch.to_pylist()
         keep_rows = []
         for r in rows:

@@ -21,6 +21,8 @@ class ZoneStateMaps:
 
 
 def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
+    from ..functions.arrowtools import tags_get
+
     out = ZoneStateMaps()
     cols = ["osm_id", "boundary_wkb", "tags", "admin_level", "zone_type", "area"]
     for b in zones.select_columns(cols).iter_batches(
@@ -31,13 +33,14 @@ def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
         lvls = b["admin_level"].to_pylist()
         types = b["zone_type"].to_pylist()
         areas = b["area"].to_pylist()
-        tags_col = b["tags"].to_pylist()
+        # vectorized single-key lookup — NOT per-row dict conversion of the
+        # whole tags map (measured 15 s driver-serial at 21.8k zones)
+        iso = tags_get(b["tags"], COUNTRY_CODE_TAG).to_pylist()
         for i in range(len(ids)):
             if wkbs[i] is not None:
                 out.geoms[ids[i]] = wkbs[i]
-            t = dict(tags_col[i] or [])
-            if COUNTRY_CODE_TAG in t:
-                out.country_rows.append((ids[i], t, lvls[i]))
+            if iso[i] is not None:
+                out.country_rows.append((ids[i], {COUNTRY_CODE_TAG: iso[i]}, lvls[i]))
             rank = ZONE_TYPE_RANK.get(types[i]) if types[i] is not None else None
             out.meta[ids[i]] = (rank, areas[i] if areas[i] is not None else 0.0)
     return out
