@@ -4,8 +4,8 @@ Headline pipelines (BASELINE.md targets: zones geotagged/sec +
 hierarchy-join rows/sec):
 
 - ``cosmogony_build``: full zone pipeline (assembly → inclusion cell join →
-  typing → hierarchy → labels) on a depth-5 quadtree world (341 zones,
-  ~1.4k inclusion edges).
+  typing → hierarchy → labels) on a depth-6 quadtree world (1,365 zones,
+  ~6.4k inclusion edges; BENCH_WORLD_DEPTH up to 8 = 21,845 zones).
 - ``geotag_docs``: span geotagging of interleaved docs (4 spans/doc) derived
   from ``$GRAFT_SF_DIR/documents.parquet`` against the built zone index.
 - ``q1_pricing_summary`` / ``q3_top_orders``: relational pipelines on the
