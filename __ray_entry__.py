@@ -173,12 +173,14 @@ def _q_q1_pricing(sf_dir: str):
         )
 
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    return partial_groupby_sum(
+    out = partial_groupby_sum(
         prepped,
         ["l_returnflag", "l_linestatus"],
         {"sum_qty": "qty", "sum_base_cents": "base_cents", "sum_disc_e4": "disc_e4"},
         counts="count_order",
     )
+    # deterministic output order matching the oracle's ORDER BY (6 rows; free)
+    return out.sort(["l_returnflag", "l_linestatus"])
 
 
 def _q_q3_top_orders(sf_dir: str):
@@ -247,7 +249,7 @@ def _q_events_by_type(sf_dir: str):
     )
     return partial_groupby_sum(
         ds, ["event_type"], {"sum_value_cents": "value_cents"}, counts="n"
-    )
+    ).sort("event_type")
 
 
 def _q_top_customers(sf_dir: str):
@@ -479,17 +481,22 @@ def oracle_sql() -> dict[str, str]:
         "zone_type_counts": oracle.sql_zone_type_counts(),
         "zone_labels": f"SELECT * FROM (VALUES {label_vals}) AS t(osm_id, label)",
         "geotag_docs": oracle.sql_geotag_docs(),
+        # NOTE: every SUM is wrapped in an outer ::BIGINT cast — DuckDB's
+        # SUM(BIGINT) returns HUGEINT which pandas renders as float64, and
+        # the driver's value hash distinguishes int64 from float64 (this was
+        # the round-1 hash_match:false cause for exactly these 4 queries).
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000.0 + 0.5) AS BIGINT)) AS sum_disc_e4,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000.0 + 0.5) AS BIGINT))::BIGINT AS sum_disc_e4,
        COUNT(*)::BIGINT AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """,
         "q3_top_orders": """
 SELECT o_orderkey,
-       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000.0 + 0.5) AS BIGINT)) AS revenue_e4
+       SUM(CAST(FLOOR(l_extendedprice*(1.0-l_discount)*10000.0 + 0.5) AS BIGINT))::BIGINT AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -500,13 +507,14 @@ LIMIT 10
 """,
         "events_by_type": """
 SELECT event_type,
-       SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT)) AS sum_value_cents,
+       SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents,
        COUNT(*)::BIGINT AS n
 FROM events GROUP BY event_type
+ORDER BY event_type
 """,
         "top_customers": """
 SELECT c.c_custkey,
-       SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT)) AS sum_total_cents,
+       SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_total_cents,
        ANY_VALUE(c_name) AS c_name
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey

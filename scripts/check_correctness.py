@@ -77,8 +77,17 @@ def main():
         got = normalize(raw)
         want = normalize(con.sql(oracles[name]).df())
         status = "OK"
+        dtype_kinds_got = [got[c].dtype.kind for c in got.columns]
+        dtype_kinds_want = [want[c].dtype.kind for c in want.columns]
         if list(got.columns) != list(want.columns):
             status = f"SCHEMA MISMATCH got={list(got.columns)} want={list(want.columns)}"
+        elif dtype_kinds_got != dtype_kinds_want:
+            # the driver's value hash distinguishes int64 from float64 —
+            # DuckDB SUM(BIGINT)→HUGEINT→float64 was the round-1 trap
+            status = (
+                f"DTYPE-KIND MISMATCH got={dict(zip(got.columns, dtype_kinds_got))} "
+                f"want={dict(zip(want.columns, dtype_kinds_want))}"
+            )
         elif len(got) != len(want):
             status = f"ROWCOUNT {len(got)} != {len(want)}"
         else:
