@@ -22,9 +22,27 @@ class EngineConfig:
     min_res: int = 2
     max_res: int = 12
     max_cells_per_zone: int = 64             # mega-zone coarsening cap (SURVEY §7.4)
-    salt_threshold: int = 50_000             # probe rows per cell before salting
+    # salting policy is by cell resolution: every cell at res ≤ min_res+1 is
+    # salted across num_salts sub-keys (coarse cells are the mega-zone hot
+    # keys by construction — a row-count threshold knob would need a second
+    # counting pass for no extra selectivity)
     num_salts: int = 8
-    join_num_partitions: int = 32            # hash-join partitions for assembly joins
+    join_num_partitions: int = 32            # shuffle partitions for joins/grouped maps
+    # shuffle-output block-size target while building zones: the default
+    # 128 MiB target coalesces a whole fixture-scale shuffle into 1-2 blocks,
+    # capping every downstream map stage at 1-2 tasks; zone rows carry wide
+    # WKB payloads and ~1 ms/row construction cost, so small blocks win
+    build_block_size_bytes: int = 1 << 20
+    # "broadcast": zero-shuffle assembly — ways/nodes of the admin closure
+    # are broadcast Arrow tables, relation construction is an
+    # embarrassingly-parallel map (the reference's own in-RAM operating
+    # point). "distributed": hash-join assembly for beyond-object-store
+    # inputs.
+    assembly_mode: str = "broadcast"
+    # hierarchy edges ≤ this → parent selection + ancestor lists are computed
+    # driver-side from the (small) edge table and broadcast, removing four
+    # shuffle barriers; above it the distributed grouped-map path is used
+    driver_hierarchy_max_edges: int = 5_000_000
     zone_batch_size: int = 512               # geometry rows per batch (wide WKB rows)
     doc_batch_size: int = 4096               # doc geotag batch size
     geotag_concurrency: int | tuple = (1, 8)      # actor pool size for the doc path

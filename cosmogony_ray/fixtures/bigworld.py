@@ -26,6 +26,7 @@ _LEVELS = [
     (8, "city"),
     (9, "city_district"),
     (10, "suburb"),
+    (11, "suburb"),        # second suburb tier → depth 9 (87,381 zones)
 ]
 
 
@@ -115,11 +116,118 @@ RULES_BW = {
 def write_grid_world(out_dir: str, depth: int) -> str:
     os.makedirs(out_dir, exist_ok=True)
     for name, tbl in grid_world_tables(depth).items():
-        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"))
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"), row_group_size=2048)
     rules_dir = os.path.join(out_dir, "rules")
     os.makedirs(rules_dir, exist_ok=True)
     import yaml
 
     with open(os.path.join(rules_dir, "bw.yaml"), "w") as f:
         yaml.safe_dump(RULES_BW, f)
+    return out_dir
+
+
+# ---------------------------------------------------------------- tiled world
+
+_TILE_OFF = 1 << 30  # id offset per tile; way/node/relation id ranges stay disjoint
+
+
+def _codes(k: int) -> list[str]:
+    out = []
+    for i in range(k):
+        out.append(chr(ord("A") + i // 26) + chr(ord("A") + i % 26))
+    return out
+
+
+def tiled_world_tables(depth: int, k: int, world: float = 8.0) -> dict[str, pa.Table]:
+    """K disjoint copies of the depth-``depth`` quadtree world laid out on a
+    grid of countries (each with its own ISO code) — vectorized Arrow column
+    arithmetic, not K recursive generations. 4^0+…+4^(depth-1) zones per
+    tile; the scalable input for bench scaling runs."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    base = grid_world_tables(depth, world)
+    codes = _codes(k)
+    cols = max(1, int(np.ceil(np.sqrt(k))))
+    rel_parts, way_parts, node_parts = [], [], []
+    iso_key = "ISO3166-1:alpha2"
+    for i in range(k):
+        off = i * _TILE_OFF
+        dx = (i % cols) * (world + 1.0)
+        dy = (i // cols) * (world + 1.0)
+
+        rel = base["relations"]
+        rel_ids = pc.add(rel["osm_id"], off)
+        # members: offset every ref_id (way/node ranges are disjoint per tile)
+        mem = rel["members"].combine_chunks()
+        flat = mem.flatten()
+        new_flat = pa.StructArray.from_arrays(
+            [
+                pc.struct_field(flat, "role"),
+                pc.struct_field(flat, "ref_kind"),
+                pc.add(pc.struct_field(flat, "ref_id"), off),
+            ],
+            names=["role", "ref_kind", "ref_id"],
+        )
+        members = pa.LargeListArray.from_arrays(
+            pa.array(mem.offsets.to_numpy(zero_copy_only=False).astype(np.int64)),
+            new_flat,
+        ).cast(rel["members"].type)
+        # tags: swap the country ISO code per tile (one relation per tile)
+        tags_py = rel["tags"].to_pylist()
+        new_tags = []
+        for kvs in tags_py:
+            kvs = list(kvs or [])
+            if any(kk == iso_key for kk, _ in kvs):
+                kvs = [(kk, codes[i] if kk == iso_key else vv) for kk, vv in kvs]
+            new_tags.append(kvs)
+        rel_parts.append(
+            pa.table(
+                {
+                    "osm_id": rel_ids,
+                    "tags": pa.array(new_tags, type=TAGS_T),
+                    "members": members,
+                }
+            )
+        )
+
+        way = base["ways"]
+        nid = way["node_ids"].combine_chunks()
+        new_nid = pa.LargeListArray.from_arrays(
+            pa.array(nid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)),
+            pc.add(nid.flatten(), off),
+        ).cast(way["node_ids"].type)
+        way_parts.append(
+            pa.table({"osm_id": pc.add(way["osm_id"], off), "node_ids": new_nid})
+        )
+
+        node = base["nodes"]
+        node_parts.append(
+            pa.table(
+                {
+                    "osm_id": pc.add(node["osm_id"], off),
+                    "lon": pc.add(node["lon"], dx),
+                    "lat": pc.add(node["lat"], dy),
+                    "tags": node["tags"],
+                }
+            )
+        )
+    return {
+        "relations": pa.concat_tables(rel_parts).combine_chunks(),
+        "ways": pa.concat_tables(way_parts).combine_chunks(),
+        "nodes": pa.concat_tables(node_parts).combine_chunks(),
+    }
+
+
+def write_tiled_world(out_dir: str, depth: int, k: int) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    for name, tbl in tiled_world_tables(depth, k).items():
+        pq.write_table(tbl, os.path.join(out_dir, f"{name}.parquet"), row_group_size=2048)
+    rules_dir = os.path.join(out_dir, "rules")
+    os.makedirs(rules_dir, exist_ok=True)
+    import yaml
+
+    for code in _codes(k):
+        with open(os.path.join(rules_dir, f"{code.lower()}.yaml"), "w") as f:
+            yaml.safe_dump(RULES_BW, f)
     return out_dir

@@ -36,6 +36,21 @@ def tags_get(tags: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     return pc.if_else(pa.array(mask), taken, pa.scalar(None, type=pa.string()))
 
 
+def materialized_table(ds, schema: pa.Schema | None = None) -> pa.Table:
+    """Whole MATERIALIZED dataset as one Arrow table, fetched straight from
+    the object store (``to_arrow_refs`` + ``ray.get``) — no streaming
+    executor run. Every driver scan of an already-materialized zone-scale
+    table should use this: each ``iter_batches``/``to_pandas`` call spins a
+    full executor (~1 s fixed, more under load), which multiplied across
+    the build's scans was a measured serial bottleneck."""
+    import ray
+
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return (schema or ds.schema().base_schema).empty_table()
+    return pa.concat_tables(tbls, promote_options="default").combine_chunks()
+
+
 def map_to_pydicts(tags: pa.ChunkedArray | pa.Array) -> list[dict]:
     """map column → list of python dicts (zone-scale paths only)."""
     if isinstance(tags, pa.ChunkedArray):

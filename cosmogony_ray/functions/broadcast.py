@@ -19,3 +19,18 @@ def get_cached(ref):
         obj = ray.get(ref)
         _CACHE[key] = obj
     return obj
+
+
+def get_cached_transformed(ref, tag: str, transform):
+    """``transform(ray.get(ref))`` computed once per worker process.
+
+    The broadcast object should be an Arrow table (zero-copy from the object
+    store — deserializing a large *Python* dict cost ~8 s per worker,
+    measured at 87k zones); ``transform`` builds whatever worker-local
+    lookup structure the stage needs from it, paid once per worker."""
+    key = (ref.hex() if hasattr(ref, "hex") else str(ref)) + ":" + tag
+    obj = _CACHE.get(key)
+    if obj is None:
+        obj = transform(get_cached(ref))
+        _CACHE[key] = obj
+    return obj

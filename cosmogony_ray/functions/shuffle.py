@@ -77,7 +77,40 @@ def grouped_map(
                 outs.append(r)
         if not outs:
             return empty_schema.empty_table()
-        return pa.concat_tables(outs, promote_options="default")
+        # combine_chunks is load-bearing: per-group outputs are often 1-row
+        # tables, and concat alone yields one chunk PER GROUP (measured:
+        # a 3.5k-row zone block with 3.5k chunks made every downstream
+        # stage — select, serialize, driver fetch — seconds-slow)
+        return pa.concat_tables(outs, promote_options="default").combine_chunks()
+
+    return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pyarrow")
+
+
+def partitioned_map(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn: Callable[[pa.Table], pa.Table | None],
+    *,
+    num_partitions: int = 32,
+    empty_schema: pa.Schema,
+) -> rd.Dataset:
+    """Apply ONE vectorized ``fn(partition_table) -> Table|None`` per hash
+    partition (all rows of a key land in the same partition). Use instead of
+    ``grouped_map`` whenever the per-key work can be expressed vectorized
+    over the whole partition — per-key Python calls at 10^5+ keys are the
+    collapse this module's docstring describes."""
+
+    parted = ds.map_batches(
+        lambda t: add_partition_column(t, keys, num_partitions),
+        batch_format="pyarrow",
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        part = part.drop_columns([PART_COL])
+        out = fn(part)
+        if out is None or out.num_rows == 0:
+            return empty_schema.empty_table()
+        return out.combine_chunks()
 
     return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pyarrow")
 

@@ -34,7 +34,7 @@ class PreparedPolygon:
     (the analog of shapely's prepared geometry / the reference's cloned GEOS
     geoms in /root/reference/src/additional_zones.rs:364-368)."""
 
-    __slots__ = ("x1", "y1", "x2", "y2", "bbox", "mpoly")
+    __slots__ = ("x1", "y1", "x2", "y2", "bbox", "mpoly", "vx", "vy")
 
     def __init__(self, mpoly: MultiPolygon):
         xs1, ys1, xs2, ys2 = [], [], [], []
@@ -50,6 +50,10 @@ class PreparedPolygon:
         self.y1 = np.concatenate(ys1)
         self.x2 = np.concatenate(xs2)
         self.y2 = np.concatenate(ys2)
+        # ring start vertices (== x1/y1 by construction): cached so repeated
+        # polygon-vs-polygon tests don't re-concatenate ring arrays per call
+        self.vx = self.x1
+        self.vy = self.y1
         self.bbox = (
             float(min(self.x1.min(), self.x2.min())),
             float(min(self.y1.min(), self.y2.min())),
@@ -160,13 +164,9 @@ def covers(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
     """
     if not bbox_contains(prep_a.bbox, prep_b.bbox):
         return False
-    vx = np.concatenate([ring[:-1, 0] for rings in prep_b.mpoly for ring in rings])
-    vy = np.concatenate([ring[:-1, 1] for rings in prep_b.mpoly for ring in rings])
-    if not prep_a.covers_points(vx, vy).all():
+    if not prep_a.covers_points(prep_b.vx, prep_b.vy).all():
         return False
-    ax = np.concatenate([ring[:-1, 0] for rings in prep_a.mpoly for ring in rings])
-    ay = np.concatenate([ring[:-1, 1] for rings in prep_a.mpoly for ring in rings])
-    a_in_b, a_on_b = prep_b.locate_points(ax, ay)
+    a_in_b, a_on_b = prep_b.locate_points(prep_a.vx, prep_a.vy)
     if (a_in_b & ~a_on_b).any():
         return False
     return not _proper_crossings(prep_a, prep_b)

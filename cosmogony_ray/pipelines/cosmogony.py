@@ -44,11 +44,35 @@ class CosmogonyResult:
     stats: dict
 
 
+def _build_ctx(cfg: EngineConfig):
+    """Context manager: small target block size for the whole build. MUST
+    wrap dataset CREATION, not just execution — a Ray Dataset captures a
+    copy of DataContext when created, so overriding after ``read_parquet``
+    silently does nothing (measured: 128 MiB blocks → 1-2 map tasks per
+    stage regardless of cluster size)."""
+    from contextlib import contextmanager
+
+    from ray.data import DataContext
+
+    @contextmanager
+    def _cm():
+        ctx = DataContext.get_current()
+        prev = ctx.target_max_block_size
+        ctx.target_max_block_size = cfg.build_block_size_bytes
+        try:
+            yield
+        finally:
+            ctx.target_max_block_size = prev
+
+    return _cm()
+
+
 def build_cosmogony(
     osm_dir: str, cfg: EngineConfig, with_stats: bool = True
 ) -> CosmogonyResult:
-    relations, ways, nodes = read_osm_tables(osm_dir)
-    return build_cosmogony_from_datasets(relations, ways, nodes, cfg, with_stats)
+    with _build_ctx(cfg):
+        relations, ways, nodes = read_osm_tables(osm_dir)
+        return _build_inner(relations, ways, nodes, cfg, with_stats)
 
 
 def build_cosmogony_from_datasets(
@@ -58,28 +82,83 @@ def build_cosmogony_from_datasets(
     cfg: EngineConfig,
     with_stats: bool = True,
 ) -> CosmogonyResult:
+    # NOTE: input datasets were created by the caller and carry the caller's
+    # captured DataContext; the block-size override only applies to datasets
+    # created inside the build. Callers who care about build parallelism
+    # should create inputs under ``_build_ctx`` (as ``build_cosmogony`` does).
+    with _build_ctx(cfg):
+        return _build_inner(relations, ways, nodes, cfg, with_stats)
+
+
+def _build_inner(
+    relations: rd.Dataset,
+    ways: rd.Dataset,
+    nodes: rd.Dataset,
+    cfg: EngineConfig,
+    with_stats: bool,
+) -> CosmogonyResult:
+    import os
+    import time
+
     import ray
 
     from ..stages.zone_state import collect_zone_state
     from ..state.country import CountryFinder
 
-    # compact before materializing: the zones table is small — dozens of
-    # shuffle-shaped blocks would make every driver scan and downstream
-    # stage latency-bound
+    _dbg = bool(os.environ.get("COSMOGONY_RAY_TIMINGS"))
+    _t = [time.time()]
+
+    def _tick(name):
+        if _dbg:
+            now = time.time()
+            print(f"[build] {name}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
     zones = assemble_zones(relations, ways, nodes, cfg).materialize()
+    _tick("assemble")
 
     state = collect_zone_state(zones)  # ONE driver pass for all broadcast maps
-    geom_ref = ray.put(state.geoms)
+    geom_ref = ray.put(state.geom_table)
+    _tick("zone_state")
     edges = find_inclusion_edges(zones, cfg, geom_ref).materialize()
+    _tick("inclusion")
 
     typer = ZoneTyper.from_dir(cfg.rules_dir)
     finder = CountryFinder.from_zone_rows(state.country_rows, typer)
-    zones_anc = attach_ancestors(zones, edges)
-    typed = type_zones(zones_anc, cfg, finder).materialize()
 
-    meta = build_zone_meta(typed)
-    parents = select_parents(edges, meta)
-    with_parents = attach_parents(typed, parents)
+    n_edges = edges.count()
+    if n_edges <= cfg.driver_hierarchy_max_edges:
+        # zone-scale fast path: ancestor lists and parent selection computed
+        # once on the driver from the small edge table and broadcast —
+        # removes four shuffle barriers (ancestor grouped-map + join, parent
+        # grouped-map + join) that dominated build latency at fixture scale
+        from ..stages.hierarchy import (
+            ancestors_from_edges_df,
+            attach_parents_broadcast,
+            select_parents_df,
+        )
+        from ..stages.typing import attach_ancestors_broadcast
+
+        from ..functions.arrowtools import materialized_table
+
+        edges_tbl = materialized_table(edges).select(["child", "parent", "parent_area"])
+        anc_ref = ray.put(ancestors_from_edges_df(edges_tbl))
+        _tick("edges_collect")
+        zones_anc = attach_ancestors_broadcast(zones, anc_ref)
+        typed = type_zones(zones_anc, cfg, finder, typer=typer).materialize()
+        _tick("typing")
+        meta = build_zone_meta(typed)
+        parents_ref = ray.put(select_parents_df(edges_tbl, meta))
+        with_parents = attach_parents_broadcast(typed, parents_ref)
+        _tick("parents")
+    else:
+        from ..stages.hierarchy import meta_table_to_dict
+
+        zones_anc = attach_ancestors(zones, edges)
+        typed = type_zones(zones_anc, cfg, finder, typer=typer).materialize()
+        meta = build_zone_meta(typed)
+        parents = select_parents(edges, meta_table_to_dict(meta))
+        with_parents = attach_parents(typed, parents)
 
     if not cfg.disable_voronoi:
         from ..stages.voronoi_zones import compute_additional_zones
@@ -104,8 +183,10 @@ def build_cosmogony_from_datasets(
         )
 
     named = compute_names(with_parents).materialize()
+    _tick("names")
     label_map = build_label_map(named)
     labeled = compute_labels(named, label_map, cfg)
+    _tick("label_map")
 
     # public schema only: working columns (ancestors, type_status) stay
     # internal — object-array columns also break Ray's pandas tensor cast in
@@ -115,5 +196,7 @@ def build_cosmogony_from_datasets(
         .select_columns(list(ZONE_SCHEMA.names))
         .materialize()
     )
+    _tick("final")
     stats = compute_stats(final, typed) if with_stats else {}
+    _tick("stats")
     return CosmogonyResult(zones=final, edges=edges, stats=stats)

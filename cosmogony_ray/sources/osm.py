@@ -13,11 +13,17 @@ import ray.data as rd
 
 
 def _read_sized(path: str) -> rd.Dataset:
-    """Block count proportional to bytes (16 MiB/block, capped) — a tiny
-    table must not explode into dozens of near-empty blocks whose per-task
-    overhead then dominates every downstream shuffle."""
-    size = os.path.getsize(path)
-    blocks = max(1, min(64, size // (16 << 20)))
+    """Block count proportional to ROW count (4k rows/block, capped at 128)
+    — a tiny table must not explode into dozens of near-empty blocks, but a
+    big one must not become ONE block either: every downstream map stage's
+    parallelism is bounded by the read's block count (zone construction is
+    ~1 ms/row, so a one-block read serializes it). Row count, not file
+    bytes: these tables compress so well that a 100k-row file can be
+    <2 MiB. Actual splitting is still bounded by parquet row groups."""
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(path).metadata.num_rows
+    blocks = max(1, min(128, rows // 4096))
     return rd.read_parquet(path, override_num_blocks=int(blocks))
 
 

@@ -29,19 +29,55 @@ from ..model import ZONE_TYPE_RANK
 _PARENT_SCHEMA = pa.schema([("osm_id", pa.string()), ("parent", pa.string())])
 
 
-def build_zone_meta(typed_zones: rd.Dataset) -> dict[str, tuple[int | None, float]]:
-    """osm_id → (zone_type_rank or None, area). Broadcast-sized."""
-    meta = {}
-    for b in typed_zones.select_columns(["osm_id", "zone_type", "area"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids = b["osm_id"].to_pylist()
-        types = b["zone_type"].to_pylist()
-        areas = b["area"].to_pylist()
-        for i in range(len(ids)):
-            rank = ZONE_TYPE_RANK.get(types[i]) if types[i] is not None else None
-            meta[ids[i]] = (rank, areas[i] if areas[i] is not None else 0.0)
-    return meta
+_META_SCHEMA = pa.schema(
+    [("osm_id", pa.string()), ("rank", pa.float64()), ("area", pa.float64())]
+)
+
+
+def build_zone_meta(typed_zones: rd.Dataset) -> pa.Table:
+    """(osm_id, zone_type rank as float64 w/ NaN for untyped, area) — Arrow
+    table from the MATERIALIZED typed zones, executor-free and vectorized
+    (rank via ``pc.index_in`` against the rank-ordered type names)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.arrowtools import materialized_table
+
+    tbl = materialized_table(typed_zones)
+    if tbl.num_rows == 0:
+        return _META_SCHEMA.empty_table()
+    names_by_rank = sorted(ZONE_TYPE_RANK, key=ZONE_TYPE_RANK.get)
+    ridx = pc.index_in(tbl["zone_type"], value_set=pa.array(names_by_rank))
+    rank_np = np.where(
+        pc.is_valid(ridx).to_numpy(zero_copy_only=False),
+        pc.fill_null(ridx, 0).to_numpy(zero_copy_only=False).astype(np.float64),
+        np.nan,
+    )
+    area = pc.fill_null(pc.cast(tbl["area"], pa.float64()), 0.0)
+    return pa.table(
+        {
+            "osm_id": tbl["osm_id"],
+            "rank": pa.array(rank_np, type=pa.float64()),
+            "area": area,
+        },
+        schema=_META_SCHEMA,
+    )
+
+
+def meta_table_to_dict(meta: pa.Table) -> dict[str, tuple[int | None, float]]:
+    """osm_id → (rank|None, area) — for the distributed grouped-map path."""
+    import math
+
+    ids = meta["osm_id"].to_pylist()
+    ranks = meta["rank"].to_pylist()
+    areas = meta["area"].to_pylist()
+    return {
+        ids[i]: (
+            None if ranks[i] is None or math.isnan(ranks[i]) else int(ranks[i]),
+            areas[i],
+        )
+        for i in range(len(ids))
+    }
 
 
 def _is_admin(rank: int | None) -> bool:
@@ -84,6 +120,126 @@ def select_parents(edges: rd.Dataset, meta: dict) -> rd.Dataset:
     return grouped_map(
         edges, ["child"], _select_parent_fn(meta_ref), empty_schema=_PARENT_SCHEMA
     )
+
+
+_ANC_TABLE_SCHEMA = pa.schema(
+    [("osm_id", pa.string()), ("ancestors", pa.list_(pa.string()))]
+)
+
+
+def ancestors_from_edges_df(edges_tbl: pa.Table) -> pa.Table:
+    """Driver-side ancestor lists as an **Arrow table** (osm_id, ancestors):
+    child → parents ordered by (parent_area asc, parent_osm_id) — identical
+    ordering to ``typing._collect_ancestors`` but one vectorized Arrow sort
+    instead of a grouped-map shuffle. Arrow because the table is broadcast:
+    zero-copy reads per worker, where a Python dict-of-lists cost ~8 s of
+    unpickling per worker at 87k zones. Valid under the
+    zones-side-fits-on-driver assumption (SURVEY §7.0); the pipeline falls
+    back to the distributed path above ``cfg.driver_hierarchy_max_edges``."""
+    import numpy as np
+
+    if edges_tbl.num_rows == 0:
+        return _ANC_TABLE_SCHEMA.empty_table()
+    d = edges_tbl.sort_by(
+        [("child", "ascending"), ("parent_area", "ascending"), ("parent", "ascending")]
+    )
+    child = d["child"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(child), dtype=bool)
+    change[0] = True
+    change[1:] = child[1:] != child[:-1]
+    starts = np.nonzero(change)[0]
+    offsets = pa.array(np.append(starts, len(child)).astype(np.int64))
+    parents = d["parent"].combine_chunks()
+    anc = pa.LargeListArray.from_arrays(offsets, parents).cast(pa.list_(pa.string()))
+    return pa.table(
+        {"osm_id": pa.array(child[starts], type=pa.string()), "ancestors": anc},
+        schema=_ANC_TABLE_SCHEMA,
+    )
+
+
+def select_parents_df(edges_tbl: pa.Table, meta: pa.Table) -> pa.Table:
+    """Driver-side smallest-enclosing-parent as an Arrow (osm_id, parent)
+    table: same admissibility + argmin key (p_rank, p_area, parent_osm_id)
+    as ``_select_parent_fn``, fully vectorized — id→meta lookups via
+    ``pc.index_in`` (a pandas ``.map(dict)`` here is a Python loop over the
+    edge table)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if edges_tbl.num_rows == 0:
+        return _PARENT_SCHEMA.empty_table()
+    ids = meta["osm_id"].combine_chunks()
+    ranks = meta["rank"].to_numpy(zero_copy_only=False)
+    areas = meta["area"].to_numpy(zero_copy_only=False)
+
+    def look(col, arr, default):
+        idx = pc.fill_null(
+            pc.index_in(edges_tbl[col], value_set=ids), pa.scalar(-1, pa.int32())
+        ).to_numpy(zero_copy_only=False)
+        out = np.where(idx >= 0, arr[np.maximum(idx, 0)], default)
+        return out
+
+    p_rank = look("parent", ranks, np.nan)
+    c_rank = look("child", ranks, np.nan)
+    p_area = look("parent", areas, 0.0)
+    nonadmin = float(ZONE_TYPE_RANK["non_administrative"])
+    p_admin = ~np.isnan(p_rank) & (p_rank != nonadmin)
+    c_admin = ~np.isnan(c_rank) & (c_rank != nonadmin)
+    admissible = p_admin & (~c_admin | (c_rank < p_rank))
+    mask = pa.array(admissible)
+    child = edges_tbl["child"].combine_chunks().filter(mask)
+    parent = edges_tbl["parent"].combine_chunks().filter(mask)
+    d = pa.table(
+        {
+            "child": child,
+            "parent": parent,
+            "p_rank": pa.array(p_rank[admissible], type=pa.float64()),
+            "p_area": pa.array(p_area[admissible], type=pa.float64()),
+        }
+    ).sort_by(
+        [
+            ("child", "ascending"),
+            ("p_rank", "ascending"),
+            ("p_area", "ascending"),
+            ("parent", "ascending"),
+        ]
+    )
+    # first row per child after the total-order sort
+    carr = d["child"].to_numpy(zero_copy_only=False)
+    keep = np.empty(len(carr), dtype=bool)
+    if len(carr):
+        keep[0] = True
+        keep[1:] = carr[1:] != carr[:-1]
+    sel = pa.array(keep)
+    return pa.table(
+        {
+            "osm_id": d["child"].filter(sel),
+            "parent": d["parent"].filter(sel),
+        },
+        schema=_PARENT_SCHEMA,
+    )
+
+
+def attach_parents_broadcast(zones: rd.Dataset, parents_ref) -> rd.Dataset:
+    """Set the ``parent`` column from a broadcast (osm_id, parent) Arrow
+    table via one vectorized ``pc.index_in`` per batch (the zero-shuffle
+    replacement for ``attach_parents`` when the map was computed
+    driver-side)."""
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import get_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        tbl = get_cached(parents_ref)
+        idx = pc.index_in(t["osm_id"], value_set=tbl["osm_id"].combine_chunks())
+        vals = pc.take(tbl["parent"].combine_chunks(), idx)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        return t.set_column(
+            t.column_names.index("parent"), "parent", vals.cast(pa.string())
+        )
+
+    return zones.map_batches(fn, batch_format="pyarrow")
 
 
 def attach_parents(typed_zones: rd.Dataset, parents: rd.Dataset) -> rd.Dataset:

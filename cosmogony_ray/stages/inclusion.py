@@ -16,9 +16,12 @@ of tree probes, a hierarchical-grid **cell join** (north_rule):
    hash — a country-level cell would otherwise collect every probe in the
    country into one group (the mega-zone hot key, SURVEY.md §7.4);
 4. ``groupby(cell, salt)`` → per-cell candidate pairs (bbox-containment
-   prefiltered, self excluded);
-5. exact-dedup shuffle on (child, parent);
-6. exact boundary-inclusive ``covers`` test (GEOS semantics,
+   prefiltered, self excluded), emitted ONLY in the canonical cell — the
+   cell containing the child's bbox min corner at the parent's build
+   resolution. A pair shares that cell exactly once (parent's bbox contains
+   the child's min corner; the child probes every resolution ≤ its own), so
+   pairs are globally unique BY CONSTRUCTION and no dedup shuffle is needed;
+5. exact boundary-inclusive ``covers`` test (GEOS semantics,
    /root/reference/src/zone_ext.rs:236-277) in an actor-pool ``map_batches``
    stage holding a broadcast ``osm_id → WKB`` map and a per-actor prepared
    geometry cache.
@@ -31,17 +34,19 @@ Errors in geometry conversion yield covers=False, matching the reference
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..functions.shuffle import distinct_rows, grouped_map
+from ..functions.shuffle import grouped_map
 from ..geom.predicates import PreparedPolygon, covers
 from ..geom.wkb import multipolygon_from_wkb
-from ..functions.cluster import default_pool
 
 _CAND_SCHEMA = pa.schema(
     [("child", pa.string()), ("parent", pa.string()), ("parent_area", pa.float64())]
@@ -49,134 +54,223 @@ _CAND_SCHEMA = pa.schema(
 
 
 def _covering_rows_fn(cfg: EngineConfig):
+    """Vectorized covering-row emitter: for a batch of zones, emit build
+    rows at each zone's own cover resolution and probe rows at every ladder
+    resolution ≤ it, with coarse-cell salting — all via numpy repeat/arange
+    (the per-zone Python-loop version cost ~1 ms/zone and dominated the
+    inclusion phase)."""
     cells = cfg.cells()
     salt_res_max = cfg.min_res + 1
     n_salts = cfg.num_salts
+    ladder = cells.ladder
+    cap = cells.max_cells_per_zone
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch["osm_id"].to_pylist()
         minx = batch["minx"].to_numpy(zero_copy_only=False)
         miny = batch["miny"].to_numpy(zero_copy_only=False)
         maxx = batch["maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["maxy"].to_numpy(zero_copy_only=False)
         areas = batch["area"].to_numpy(zero_copy_only=False)
-        out_cell, out_salt, out_id, out_role, out_area = [], [], [], [], []
-        out_bbox = [[], [], [], []]
-        for i, osm_id in enumerate(ids):
-            if not np.isfinite(minx[i]):
+        valid = np.isfinite(minx)
+        ids_arr = batch["osm_id"].combine_chunks() if isinstance(
+            batch["osm_id"], pa.ChunkedArray
+        ) else batch["osm_id"]
+        # stable per-zone salt (crc32, not the process-randomized str hash)
+        salts_of = np.array(
+            [zlib.crc32(s.encode()) % n_salts for s in ids_arr.to_pylist()],
+            dtype=np.int8,
+        )
+        # per zone per ladder res: grid index ranges + cell counts
+        nz = len(minx)
+        counts = np.empty((len(ladder), nz), dtype=np.int64)
+        ix0s = np.empty((len(ladder), nz), dtype=np.int64)
+        iy0s = np.empty((len(ladder), nz), dtype=np.int64)
+        nxs = np.empty((len(ladder), nz), dtype=np.int64)
+        for li, r in enumerate(ladder):
+            ix0, iy0 = cells._grid_index(minx, miny, r)
+            ix1, iy1 = cells._grid_index(maxx, maxy, r)
+            ix0s[li], iy0s[li] = ix0, iy0
+            nxs[li] = ix1 - ix0 + 1
+            counts[li] = nxs[li] * (iy1 - iy0 + 1)
+        # own resolution = finest ladder index with count ≤ cap (cummax trick:
+        # once a resolution exceeds the cap all finer ones do too on a grid)
+        ok = counts <= cap
+        own_li = np.maximum(ok.cumprod(axis=0).sum(axis=0) - 1, 0)
+
+        out = {k: [] for k in ("cell", "salt", "osm_id_idx", "role")}
+        for li, r in enumerate(ladder):
+            # zones emitting at this resolution: probes where own_li >= li,
+            # builds where own_li == li
+            probe_sel = np.nonzero(valid & (own_li >= li))[0]
+            if probe_sel.size == 0:
                 continue
-            bbox = (minx[i], miny[i], maxx[i], maxy[i])
-            res = cells.cover_res_for_bbox(bbox)
-            own = cells.cover_bbox(bbox, res)
-            # build rows at own resolution
-            probe_cells = {int(c) for c in own}
-            build_cells = probe_cells
-            # probe rows: ancestors at every coarser ladder resolution
-            for r in cells.ladder:
-                if r >= res:
-                    break
-                probe_cells = probe_cells | {
-                    int(c) for c in cells.cover_bbox(bbox, r)
-                }
-            salt_of_child = hash(osm_id) % n_salts
-            for role, cellset in ((0, build_cells), (1, probe_cells)):
-                for c in cellset:
-                    r = cells.res_of(c)
-                    if r <= salt_res_max:
-                        salts = range(n_salts) if role == 0 else (salt_of_child,)
-                    else:
-                        salts = (0,)
-                    for s in salts:
-                        out_cell.append(c)
-                        out_salt.append(s)
-                        out_id.append(osm_id)
-                        out_role.append(role)
-                        out_area.append(float(areas[i]))
-                        for k in range(4):
-                            out_bbox[k].append(bbox[k])
+            cnt = counts[li][probe_sel]
+            zrep = np.repeat(probe_sel, cnt)
+            total = int(cnt.sum())
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt
+            )
+            nx = nxs[li][zrep]
+            ix = ix0s[li][zrep] + within % nx
+            iy = iy0s[li][zrep] + within // nx
+            cell = cells._encode(r, ix, iy)
+            is_build = (own_li[zrep] == li).astype(np.int8)
+            if r <= salt_res_max:
+                # probe rows: one salt (the zone's); build rows: replicated
+                # across every salt (emitted below)
+                out["cell"].append(cell)
+                out["salt"].append(salts_of[zrep])
+                out["osm_id_idx"].append(zrep)
+                out["role"].append(np.ones(cell.size, dtype=np.int8))
+                bmask = is_build.astype(bool)
+                if bmask.any():
+                    bcell = np.tile(cell[bmask], n_salts)
+                    bidx = np.tile(zrep[bmask], n_salts)
+                    bsalt = np.repeat(
+                        np.arange(n_salts, dtype=np.int8), int(bmask.sum())
+                    )
+                    out["cell"].append(bcell)
+                    out["salt"].append(bsalt)
+                    out["osm_id_idx"].append(bidx)
+                    out["role"].append(np.zeros(bcell.size, dtype=np.int8))
+            else:
+                zero = np.zeros(cell.size, dtype=np.int8)
+                out["cell"].append(cell)
+                out["salt"].append(zero)
+                out["osm_id_idx"].append(zrep)
+                out["role"].append(np.ones(cell.size, dtype=np.int8))
+                bmask = is_build.astype(bool)
+                if bmask.any():
+                    out["cell"].append(cell[bmask])
+                    out["salt"].append(zero[: int(bmask.sum())])
+                    out["osm_id_idx"].append(zrep[bmask])
+                    out["role"].append(np.zeros(int(bmask.sum()), dtype=np.int8))
+        if not out["cell"]:
+            idx = np.array([], dtype=np.int64)
+            cell = np.array([], dtype=np.int64)
+            salt = np.array([], dtype=np.int8)
+            role = np.array([], dtype=np.int8)
+        else:
+            cell = np.concatenate(out["cell"])
+            salt = np.concatenate(out["salt"])
+            idx = np.concatenate(out["osm_id_idx"])
+            role = np.concatenate(out["role"])
+        take = pa.array(idx, type=pa.int64())
         return pa.table(
             {
-                "cell": pa.array(out_cell, type=pa.int64()),
-                "salt": pa.array(out_salt, type=pa.int8()),
-                "osm_id": pa.array(out_id, type=pa.string()),
-                "role": pa.array(out_role, type=pa.int8()),
-                "area": pa.array(out_area, type=pa.float64()),
-                "minx": pa.array(out_bbox[0], type=pa.float64()),
-                "miny": pa.array(out_bbox[1], type=pa.float64()),
-                "maxx": pa.array(out_bbox[2], type=pa.float64()),
-                "maxy": pa.array(out_bbox[3], type=pa.float64()),
+                "cell": pa.array(cell, type=pa.int64()),
+                "salt": pa.array(salt, type=pa.int8()),
+                "osm_id": ids_arr.take(take),
+                "role": pa.array(role, type=pa.int8()),
+                "area": pa.array(areas[idx], type=pa.float64()),
+                "minx": pa.array(minx[idx], type=pa.float64()),
+                "miny": pa.array(miny[idx], type=pa.float64()),
+                "maxx": pa.array(maxx[idx], type=pa.float64()),
+                "maxy": pa.array(maxy[idx], type=pa.float64()),
             }
         )
 
     return fn
 
 
-def _emit_candidates(key: tuple, group: pa.Table) -> pa.Table:
-    role = group["role"].to_numpy(zero_copy_only=False)
-    bmask = role == 0
-    pmask = role == 1
-    if not bmask.any() or not pmask.any():
-        return _CAND_SCHEMA.empty_table()
-    ids = np.asarray(group["osm_id"].to_pylist(), dtype=object)
-    minx = group["minx"].to_numpy(zero_copy_only=False)
-    miny = group["miny"].to_numpy(zero_copy_only=False)
-    maxx = group["maxx"].to_numpy(zero_copy_only=False)
-    maxy = group["maxy"].to_numpy(zero_copy_only=False)
-    bi = np.nonzero(bmask)[0]
-    pi = np.nonzero(pmask)[0]
-    # parent bbox must contain child bbox (covers ⇒ bbox-contains prefilter)
-    contains = (
-        (minx[bi][None, :] <= minx[pi][:, None])
-        & (miny[bi][None, :] <= miny[pi][:, None])
-        & (maxx[bi][None, :] >= maxx[pi][:, None])
-        & (maxy[bi][None, :] >= maxy[pi][:, None])
-    )
-    ci, bj = np.nonzero(contains)
-    child = ids[pi[ci]]
-    parent = ids[bi[bj]]
-    parea = group["area"].to_numpy(zero_copy_only=False)[bi[bj]]
-    keep = child != parent
-    return pa.table(
-        {
-            "child": pa.array(child[keep].tolist(), type=pa.string()),
-            "parent": pa.array(parent[keep].tolist(), type=pa.string()),
-            "parent_area": pa.array(parea[keep], type=pa.float64()),
-        },
-        schema=_CAND_SCHEMA,
-    )
+def _emit_candidates_fn(cells):
+    """Per-(cell,salt)-group candidate emitter with canonical-cell dedup.
+
+    A (child, parent) pair can only match in groups at the parent's build
+    resolution r_p (build rows exist only there). Among those, exactly one
+    cell contains the child's bbox min corner: the parent's bbox covering
+    includes it (parent bbox ⊇ child bbox after the prefilter) and the
+    child's probe covering at r_p includes it (probes cover the child bbox
+    at every ladder resolution ≤ its own, and r_p ≤ r_child since the
+    child's bbox is smaller). Emitting only in that cell yields each pair
+    exactly once globally — no dedup shuffle downstream."""
+
+    def fn(key: tuple, group: pa.Table) -> pa.Table:
+        role = group["role"].to_numpy(zero_copy_only=False)
+        bmask = role == 0
+        pmask = role == 1
+        if not bmask.any() or not pmask.any():
+            return _CAND_SCHEMA.empty_table()
+        ids = np.asarray(group["osm_id"].to_pylist(), dtype=object)
+        minx = group["minx"].to_numpy(zero_copy_only=False)
+        miny = group["miny"].to_numpy(zero_copy_only=False)
+        maxx = group["maxx"].to_numpy(zero_copy_only=False)
+        maxy = group["maxy"].to_numpy(zero_copy_only=False)
+        bi = np.nonzero(bmask)[0]
+        pi = np.nonzero(pmask)[0]
+        # parent bbox must contain child bbox (covers ⇒ bbox-contains prefilter)
+        contains = (
+            (minx[bi][None, :] <= minx[pi][:, None])
+            & (miny[bi][None, :] <= miny[pi][:, None])
+            & (maxx[bi][None, :] >= maxx[pi][:, None])
+            & (maxy[bi][None, :] >= maxy[pi][:, None])
+        )
+        ci, bj = np.nonzero(contains)
+        child = ids[pi[ci]]
+        parent = ids[bi[bj]]
+        parea = group["area"].to_numpy(zero_copy_only=False)[bi[bj]]
+        cell = int(key[0])
+        canon = cells.cell_of(minx[pi[ci]], miny[pi[ci]], cells.res_of(cell))
+        keep = (child != parent) & (np.atleast_1d(canon) == cell)
+        return pa.table(
+            {
+                "child": pa.array(child[keep].tolist(), type=pa.string()),
+                "parent": pa.array(parent[keep].tolist(), type=pa.string()),
+                "parent_area": pa.array(parea[keep], type=pa.float64()),
+            },
+            schema=_CAND_SCHEMA,
+        )
+
+    return fn
 
 
 
 
-class CoversTester:
-    """Actor-pool exact-covers stage: broadcast osm_id→WKB map, per-actor
-    prepared-geometry cache (the shapely-prepared analog of the reference's
-    GEOS usage; state loaded once per actor per SURVEY §7.2)."""
+def covers_tester_fn(geom_ref):
+    """Stateless-task exact-covers stage over a broadcast **Arrow** geometry
+    table (osm_id, boundary_wkb) — zero-copy from the object store, unlike a
+    Python dict broadcast (seconds of unpickling per worker at 10⁵ zones).
+    id→row lookup is one vectorized ``pc.index_in`` per batch; prepared
+    geometries are cached per worker keyed by row index (tasks reuse worker
+    processes, so state is still built once per worker — SURVEY §7.2)."""
+    from ..functions.broadcast import get_cached_transformed
 
-    def __init__(self, geom_ref):
-        self._geoms: dict[str, bytes] = ray.get(geom_ref)
-        self._prepared: dict[str, PreparedPolygon] = {}
+    def _entry(tbl: pa.Table) -> dict:
+        return {
+            "ids": tbl["osm_id"].combine_chunks(),
+            "wkb": tbl["boundary_wkb"].combine_chunks(),
+            "prep": {},
+        }
 
-    def _prep(self, osm_id: str) -> PreparedPolygon | None:
-        p = self._prepared.get(osm_id)
+    def _prep(entry, idx: int) -> PreparedPolygon | None:
+        if idx < 0:
+            return None
+        p = entry["prep"].get(idx)
         if p is None:
-            wkb = self._geoms.get(osm_id)
-            if wkb is None:
-                return None
             try:
-                p = PreparedPolygon(multipolygon_from_wkb(wkb))
+                p = PreparedPolygon(
+                    multipolygon_from_wkb(entry["wkb"][idx].as_py())
+                )
             except Exception:
                 return None  # invalid geometry → covers false (zone_ext.rs:247-273)
-            self._prepared[osm_id] = p
+            entry["prep"][idx] = p
         return p
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        childs = batch["child"].to_pylist()
-        parents = batch["parent"].to_pylist()
-        keep = np.zeros(len(childs), dtype=bool)
-        for i, (c, p) in enumerate(zip(childs, parents)):
-            pp = self._prep(p)
-            cp = self._prep(c)
+    def fn(batch: pa.Table) -> pa.Table:
+        entry = get_cached_transformed(geom_ref, "prep", _entry)
+        minus1 = pa.scalar(-1, type=pa.int32())
+        ci = (
+            pc.fill_null(pc.index_in(batch["child"], value_set=entry["ids"]), minus1)
+            .to_numpy(zero_copy_only=False)
+        )
+        pi = (
+            pc.fill_null(pc.index_in(batch["parent"], value_set=entry["ids"]), minus1)
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = np.zeros(len(ci), dtype=bool)
+        for i in range(len(ci)):
+            pp = _prep(entry, int(pi[i]))
+            cp = _prep(entry, int(ci[i]))
             if pp is None or cp is None:
                 continue
             try:
@@ -185,20 +279,26 @@ class CoversTester:
                 keep[i] = False
         return batch.filter(pa.array(keep))
 
+    return fn
+
 
 def broadcast_geometries(zones: rd.Dataset):
-    """Collect osm_id→boundary WKB into one broadcast object (``ray.put``
-    once, read by every covers task — never re-shipped per batch)."""
-    geoms: dict[str, bytes] = {}
+    """Collect the (osm_id, boundary_wkb) Arrow table into one broadcast
+    object (``ray.put`` once, zero-copy read by every covers task — never
+    re-shipped per batch, never a Python dict)."""
+    parts = []
     for b in zones.select_columns(["osm_id", "boundary_wkb"]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
+        batch_size=8192, batch_format="pyarrow"
     ):
-        ids = b["osm_id"].to_pylist()
-        wkbs = b["boundary_wkb"].to_pylist()
-        for i, w in zip(ids, wkbs):
-            if w is not None:
-                geoms[i] = w
-    return ray.put(geoms)
+        parts.append(b.filter(pa.compute.is_valid(b["boundary_wkb"])))
+    tbl = (
+        pa.concat_tables(parts).combine_chunks()
+        if parts
+        else pa.schema(
+            [("osm_id", pa.string()), ("boundary_wkb", pa.binary())]
+        ).empty_table()
+    )
+    return ray.put(tbl)
 
 
 def find_inclusion_edges(
@@ -217,18 +317,21 @@ def find_inclusion_edges(
     cover = lite.map_batches(
         _covering_rows_fn(cfg), batch_format="pyarrow", batch_size=cfg.zone_batch_size
     )
+    # pairs are globally unique by canonical-cell construction — no
+    # distinct_rows shuffle between candidate generation and the exact test
     cands = grouped_map(
-        cover, ["cell", "salt"], _emit_candidates, empty_schema=_CAND_SCHEMA
+        cover,
+        ["cell", "salt"],
+        _emit_candidates_fn(cfg.cells()),
+        num_partitions=cfg.join_num_partitions,
+        empty_schema=_CAND_SCHEMA,
     )
-    dedup = distinct_rows(cands, ["child", "parent"])
     if geom_ref is None:
         geom_ref = broadcast_geometries(boundary_zones)
-    edges = dedup.map_batches(
-        CoversTester,
-        fn_constructor_kwargs={"geom_ref": geom_ref},
+    edges = cands.map_batches(
+        covers_tester_fn(geom_ref),
         batch_format="pyarrow",
-        batch_size=cfg.zone_batch_size,
-        concurrency=default_pool(cap=16),
+        batch_size=8192,
         num_cpus=1,
     )
     return edges

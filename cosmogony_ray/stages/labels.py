@@ -67,8 +67,20 @@ def compute_names(zones: rd.Dataset) -> rd.Dataset:
     return zones.map_batches(compute_names_batch, batch_format="pyarrow")
 
 
-def build_label_map(named_zones: rd.Dataset) -> dict[str, tuple]:
-    """zone_uid → (name, intl_names dict, parent uid). Broadcast-sized.
+_LABEL_MAP_SCHEMA = pa.schema(
+    [
+        ("zone_uid", pa.string()),
+        ("name", pa.string()),
+        ("parent", pa.string()),
+        ("intl", TAGS_T),
+    ]
+)
+
+
+def build_label_map(named_zones: rd.Dataset) -> pa.Table:
+    """(zone_uid, name, parent, intl name:* pairs) — broadcast as an Arrow
+    table (zero-copy per worker; a Python dict broadcast cost seconds of
+    unpickling per worker at 10⁵ zones).
 
     The ``name:*`` extraction runs vectorized over the flattened tags map
     (RE2 kernel + offset bookkeeping) — per-row dict conversion was a
@@ -76,13 +88,16 @@ def build_label_map(named_zones: rd.Dataset) -> dict[str, tuple]:
     import numpy as np
     import pyarrow.compute as pc
 
-    m = {}
-    for b in named_zones.select_columns(["zone_uid", "name", "tags", "parent"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
+    from ..functions.arrowtools import materialized_table
+
+    full = materialized_table(named_zones).select(
+        ["zone_uid", "name", "tags", "parent"]
+    )
+    parts = []
+    for b in full.to_batches(max_chunksize=65536):
+        b = pa.Table.from_batches([b])
         ids = b["zone_uid"].to_pylist()
         names = b["name"].to_pylist()
-        parents = b["parent"].to_pylist()
         tags = b["tags"]
         if isinstance(tags, pa.ChunkedArray):
             tags = tags.combine_chunks()
@@ -95,12 +110,36 @@ def build_label_map(named_zones: rd.Dataset) -> dict[str, tuple]:
         name_rep = np.asarray(names, dtype=object)[row_of] if len(row_of) else row_of
         hit = lang_mask & (vals != name_rep)
         langs = pc.struct_field(ext, "lang").to_pylist()
-        intl: list[dict] = [dict() for _ in ids]
+        intl: list[list] = [[] for _ in ids]
         for k in np.nonzero(hit)[0]:
-            intl[row_of[k]][langs[k]] = vals[k]
-        for i in range(len(ids)):
-            m[ids[i]] = (names[i], intl[i], parents[i])
-    return m
+            intl[row_of[k]].append((langs[k], vals[k]))
+        parts.append(
+            pa.table(
+                {
+                    "zone_uid": b["zone_uid"],
+                    "name": b["name"],
+                    "parent": b["parent"],
+                    "intl": pa.array(intl, type=TAGS_T),
+                },
+                schema=_LABEL_MAP_SCHEMA,
+            )
+        )
+    if not parts:
+        return _LABEL_MAP_SCHEMA.empty_table()
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def _label_table_to_map(tbl: pa.Table) -> dict[str, tuple]:
+    """Worker-local chain-walk lookup built once per worker from the
+    broadcast Arrow table: zone_uid → (name, intl dict, parent)."""
+    ids = tbl["zone_uid"].to_pylist()
+    names = tbl["name"].to_pylist()
+    parents = tbl["parent"].to_pylist()
+    intls = tbl["intl"].to_pylist()
+    return {
+        ids[i]: (names[i], dict(intls[i] or []), parents[i])
+        for i in range(len(ids))
+    }
 
 
 def format_zip_code(zips: list[str]) -> str:
@@ -124,9 +163,9 @@ def _chain(osm_id: str, m: dict) -> list[str]:
 
 def _labels_fn(map_ref, filter_langs: tuple[str, ...]):
     def fn(batch: pa.Table) -> pa.Table:
-        from ..functions.broadcast import get_cached
+        from ..functions.broadcast import get_cached_transformed
 
-        m = get_cached(map_ref)
+        m = get_cached_transformed(map_ref, "labelmap", _label_table_to_map)
         ids = batch["zone_uid"].to_pylist()
         zips_col = batch["zip_codes"].to_pylist()
         labels, intl_labels = [], []
@@ -161,7 +200,7 @@ def _labels_fn(map_ref, filter_langs: tuple[str, ...]):
 
 
 def compute_labels(
-    named_zones: rd.Dataset, label_map: dict, cfg: EngineConfig
+    named_zones: rd.Dataset, label_map: pa.Table, cfg: EngineConfig
 ) -> rd.Dataset:
     map_ref = ray.put(label_map)
     return named_zones.map_batches(

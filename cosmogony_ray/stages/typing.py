@@ -6,8 +6,8 @@ The Ray-Data re-expression of ``type_zones`` (/root/reference/src/lib.rs:110-184
    (parent_area asc, parent_osm_id) — the engine's deterministic replacement
    for the reference's R-tree iteration order (SURVEY §7.4 "ordering/tie-break
    determinism"); most-specific ancestor first.
-2. ``ZoneTyperStage`` actor pool: rules parsed once per actor from the YAML
-   dir (ST1), country map broadcast (ST2); per row:
+2. ``_typer_fn`` stateless-task stage: rules parsed once on the driver
+   (ST1), broadcast with the country map (ST2) and cached per worker; per row:
    country = forced ``cfg.country_code`` (lib.rs:97-108) else
    max-admin-level country over ancestors∪self; then rules lookup.
    Outcomes mirror lib.rs:146-181:
@@ -31,7 +31,6 @@ from ..functions.shuffle import grouped_map
 from ..model import ZONE_SCHEMA
 from ..state.country import COUNTRY_CODE_TAG, CountryFinder
 from ..state.rules import ZoneTyper
-from ..functions.cluster import default_pool
 
 ANCESTORS_T = pa.list_(pa.string())
 
@@ -62,6 +61,27 @@ def attach_ancestors(zones: rd.Dataset, edges: rd.Dataset) -> rd.Dataset:
     )
 
 
+def attach_ancestors_broadcast(zones: rd.Dataset, anc_ref) -> rd.Dataset:
+    """Append the ``ancestors`` list column from a broadcast (osm_id,
+    ancestors) Arrow table via one vectorized ``pc.index_in`` + ``take`` per
+    batch — zero-copy broadcast, no per-worker dict unpickling
+    (zero-shuffle replacement for ``attach_ancestors`` when the table was
+    computed driver-side via ``hierarchy.ancestors_from_edges_df``)."""
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import get_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        tbl = get_cached(anc_ref)
+        idx = pc.index_in(t["osm_id"], value_set=tbl["osm_id"].combine_chunks())
+        lists = pc.take(tbl["ancestors"].combine_chunks(), idx)
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        return t.append_column("ancestors", lists.cast(ANCESTORS_T))
+
+    return zones.map_batches(fn, batch_format="pyarrow")
+
+
 def build_country_finder(zones: rd.Dataset, typer: ZoneTyper) -> CountryFinder:
     """Scan the (small) zones table for ISO-tagged zones → broadcastable map.
     Streams batches to the driver; zones-side-fits-in-memory assumption
@@ -80,15 +100,16 @@ def build_country_finder(zones: rd.Dataset, typer: ZoneTyper) -> CountryFinder:
     return CountryFinder.from_zone_rows(rows, typer)
 
 
-class ZoneTyperStage:
-    """Callable class for ``map_batches`` — rules parsed once per actor."""
+def _typer_fn(state_ref):
+    """Stateless-task typing stage over broadcast (typer, finder, forced)
+    state: rules are parsed ONCE on the driver, shipped via ``ray.put``, and
+    deserialized once per worker (``get_cached``). Replaces the former actor
+    pool, whose per-actor rules re-parse + autoscaling ramp dominated the
+    stage at fixture scale."""
+    from ..functions.broadcast import get_cached
 
-    def __init__(self, rules_dir: str, finder_ref, forced_country: str | None):
-        self.typer = ZoneTyper.from_dir(rules_dir)
-        self.finder: CountryFinder = ray.get(finder_ref)
-        self.forced = forced_country.upper() if forced_country else None
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fn(batch: pa.Table) -> pa.Table:
+        typer, finder, forced = get_cached(state_ref)
         ids = batch["osm_id"].to_pylist()
         levels = batch["admin_level"].to_pylist()
         old_types = batch["zone_type"].to_pylist()
@@ -96,13 +117,13 @@ class ZoneTyperStage:
         new_types, new_cc, status = [], [], []
         for i in range(len(ids)):
             anc = ancestors[i] or []
-            cc = self.forced or self.finder.find(ids[i], anc)
+            cc = forced or finder.find(ids[i], anc)
             if cc is None:
                 new_types.append(old_types[i])
                 new_cc.append(None)
                 status.append("no_country")
                 continue
-            st, t = self.typer.get_zone_type(ids[i], levels[i], cc, anc)
+            st, t = typer.get_zone_type(ids[i], levels[i], cc, anc)
             new_cc.append(cc)
             if st == "ok":
                 new_types.append(t)
@@ -115,11 +136,14 @@ class ZoneTyperStage:
         batch = batch.append_column("type_status", pa.array(status, type=pa.string()))
         return batch
 
+    return fn
+
 
 def type_zones(
     zones_with_ancestors: rd.Dataset,
     cfg: EngineConfig,
     finder: CountryFinder,
+    typer: ZoneTyper | None = None,
 ) -> rd.Dataset:
     if cfg.rules_dir is None:
         raise ValueError("cfg.rules_dir is required for typing")
@@ -127,16 +151,13 @@ def type_zones(
         raise ValueError(
             "no country_code provided and no country found; cannot build a cosmogony"
         )  # lib.rs:121-127
-    finder_ref = ray.put(finder)
+    if typer is None:
+        typer = ZoneTyper.from_dir(cfg.rules_dir)
+    forced = cfg.country_code.upper() if cfg.country_code else None
+    state_ref = ray.put((typer, finder, forced))
     return zones_with_ancestors.map_batches(
-        ZoneTyperStage,
-        fn_constructor_kwargs={
-            "rules_dir": cfg.rules_dir,
-            "finder_ref": finder_ref,
-            "forced_country": cfg.country_code,
-        },
+        _typer_fn(state_ref),
         batch_format="pyarrow",
-        batch_size=cfg.zone_batch_size,
-        concurrency=default_pool(cap=16),
+        batch_size=4096,
         num_cpus=1,
     )

@@ -9,9 +9,10 @@ Ray-Data-native re-expression of the reference's scan+construct stage:
   osm_boundaries_utils semantics, via geom.algorithms.assemble_rings
 
 Dataflow (all distributed, no driver-side materialization):
-  ways ⨝ nodes (hash join on node_id) → per-way coord arrays (groupby way_id)
-  relations → member explode → way-members ⨝ way_geo, node-members ⨝ nodes
-  → groupby(rel_id) → one Zone row per relation (map_groups)
+  ways ⨝ nodes (hash join on node_id) → fused way-assembly + member-attach
+  partition pass (ONE way_id shuffle; coord lists built vectorized from
+  list offsets) ∥ node-members ⨝ nodes
+  → partition by rel_id → Zone rows batched per partition
   ∪ place=suburb nodes → node zones (map_batches)
 
 The dependency closure of S1 (relation → ways → nodes) is exactly these two
@@ -30,7 +31,7 @@ import ray.data as rd
 from ..config import EngineConfig
 from ..functions.arrowtools import explode_list_column, map_to_pydicts, tags_get
 from ..functions.joins import hash_join
-from ..functions.shuffle import grouped_map
+from ..functions.shuffle import partitioned_map
 from ..geom.algorithms import (
     assemble_rings,
     build_polygons,
@@ -76,22 +77,69 @@ def _way_points(batch: pa.Table) -> pa.Table:
     return explode_list_column(t, "node_ids", ["way_id"], pos_col="pos")
 
 
-_WAY_GEO_SCHEMA = pa.schema(
-    [("way_id", pa.int64()), ("xs", pa.list_(pa.float64())), ("ys", pa.list_(pa.float64()))]
+_WAYS_UNIFIED_SCHEMA = pa.schema(
+    [
+        ("way_id", pa.int64()),
+        ("src", pa.int8()),           # 0 = way point row, 1 = member row
+        ("pos", pa.int32()),
+        ("lon", pa.float64()),
+        ("lat", pa.float64()),
+        ("rel_id", pa.int64()),
+        ("role", pa.string()),
+        ("seq", pa.int32()),
+    ]
+)
+
+_WAYPART_SCHEMA = pa.schema(
+    [
+        ("rel_id", pa.int64()),
+        ("role", pa.string()),
+        ("seq", pa.int32()),
+        ("xs", pa.list_(pa.float64())),
+        ("ys", pa.list_(pa.float64())),
+    ]
 )
 
 
-def _assemble_way(key: tuple, group: pa.Table) -> pa.Table:
-    g = group.sort_by([("pos", "ascending")])
-    # explicit list<f64> (NOT numpy-in-pandas, which becomes a tensor
-    # extension type that pyarrow's join kernel rejects)
+def _ways_partition(part: pa.Table) -> pa.Table | None:
+    """One fused partition pass replacing the former per-way grouped map +
+    way_id hash join: assemble each way's coordinate list (vectorized via
+    list offsets) and attach it to the relation member rows referencing it.
+    Inner-join semantics both ways (members without an assembled way and
+    ways without members drop), matching the dependency-closure behavior."""
+    src = part["src"].to_numpy(zero_copy_only=False)
+    pts = part.filter(pa.array(src == 0))
+    mems = part.filter(pa.array(src == 1))
+    if pts.num_rows == 0 or mems.num_rows == 0:
+        return None
+    pts = pts.sort_by([("way_id", "ascending"), ("pos", "ascending")])
+    wid = pts["way_id"].to_numpy(zero_copy_only=False)
+    change = np.empty(len(wid), dtype=bool)
+    change[0] = True
+    change[1:] = wid[1:] != wid[:-1]
+    starts = np.nonzero(change)[0]
+    offsets = np.append(starts, len(wid)).astype(np.int64)
+    lon = pts["lon"].combine_chunks()
+    lat = pts["lat"].combine_chunks()
+    off_arr = pa.array(offsets, type=pa.int64())
+    xs = pa.LargeListArray.from_arrays(off_arr, lon).cast(pa.list_(pa.float64()))
+    ys = pa.LargeListArray.from_arrays(off_arr, lat).cast(pa.list_(pa.float64()))
+    uniq = wid[starts]
+    mwid = mems["way_id"].to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(uniq, mwid)
+    idx_c = np.minimum(idx, len(uniq) - 1)
+    valid = uniq[idx_c] == mwid
+    vmask = pa.array(valid)
+    take = pa.array(idx_c[valid], type=pa.int64())
     return pa.table(
         {
-            "way_id": pa.array([key[0]], type=pa.int64()),
-            "xs": pa.array([g["lon"].to_pylist()], type=pa.list_(pa.float64())),
-            "ys": pa.array([g["lat"].to_pylist()], type=pa.list_(pa.float64())),
+            "rel_id": mems["rel_id"].filter(vmask),
+            "role": mems["role"].filter(vmask),
+            "seq": mems["seq"].filter(vmask),
+            "xs": xs.take(take),
+            "ys": ys.take(take),
         },
-        schema=_WAY_GEO_SCHEMA,
+        schema=_WAYPART_SCHEMA,
     )
 
 
@@ -126,18 +174,35 @@ def _part_table(cols: dict) -> pa.Table:
     return pa.table(data, schema=_PART_SCHEMA)
 
 
-def _build_zone_group(key: tuple, group: pa.Table) -> pa.Table:
-    """One relation's parts → 0..1 Zone rows (from_osm_relation,
+def _build_zones_partition(part: pa.Table) -> pa.Table | None:
+    """All relations of one hash partition → Zone rows: per-relation Python
+    construction (ring assembly is inherently per-relation), but ONE output
+    table per partition instead of a 1-row table per relation (the former
+    per-key emission made every zone block a chunk-per-row table)."""
+    from ..functions.shuffle import iter_key_groups
+
+    rows = []
+    for key, group in iter_key_groups(part, ["rel_id"]):
+        row = _build_zone_row(key, group)
+        if row is not None:
+            rows.append(row)
+    if not rows:
+        return None
+    return pa.Table.from_pylist(rows, schema=ZONE_SCHEMA)
+
+
+def _build_zone_row(key: tuple, group: pa.Table) -> dict | None:
+    """One relation's parts → 0..1 Zone row dicts (from_osm_relation,
     /root/reference/src/zone_ext.rs:118-234)."""
     src = group["src"].to_pylist()
     rel_rows = [i for i, s in enumerate(src) if s == "rel"]
     if not rel_rows:
-        return _empty_zone_table()
+        return None
     rel_id = key[0]
     tags = dict(group["tags"][rel_rows[0]].as_py() or [])
     name = tags.get("name")
     if not name:
-        return _empty_zone_table()  # unnamed → skipped (zone_ext.rs:126-135)
+        return None  # unnamed → skipped (zone_ext.rs:126-135)
 
     roles = group["role"].to_pylist()
     seqs = group["seq"].to_pylist()
@@ -171,7 +236,7 @@ def _build_zone_group(key: tuple, group: pa.Table) -> pa.Table:
             outer_segs.append(seg)
     outer_rings = assemble_rings(outer_segs)
     if not outer_rings:
-        return _empty_zone_table()  # no boundary → zone skipped (lib.rs:78-81)
+        return None  # no boundary → zone skipped (lib.rs:78-81)
     inner_rings = assemble_rings(inner_segs)
     mpoly = build_polygons(outer_rings, inner_rings)
     bbox = multipolygon_bbox(mpoly)
@@ -215,7 +280,7 @@ def _build_zone_group(key: tuple, group: pa.Table) -> pa.Table:
         "label": "",
         "international_labels": _EMPTY_TAGS,
     }
-    return pa.Table.from_pylist([row], schema=ZONE_SCHEMA)
+    return row
 
 
 def _parse_level(s: str | None) -> int | None:
@@ -287,6 +352,225 @@ def assemble_zones(
     nodes: rd.Dataset,
     cfg: EngineConfig | None = None,
 ) -> rd.Dataset:
+    """Dispatch: broadcast assembly (zero-shuffle; ways/nodes tables fit in
+    the object store — the reference holds the whole object map in RAM,
+    src/lib.rs:247) vs distributed hash-join assembly for beyond-memory
+    inputs. ``cfg.assembly_mode``: "broadcast" (default) | "distributed"."""
+    cfg = cfg or EngineConfig()
+    if cfg.assembly_mode == "distributed":
+        return assemble_zones_distributed(relations, ways, nodes, cfg)
+    return assemble_zones_broadcast(relations, ways, nodes, cfg)
+
+
+def _collect_table(ds: rd.Dataset, cols: list[str] | None = None) -> pa.Table:
+    parts = []
+    src = ds.select_columns(cols) if cols else ds
+    for b in src.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        parts.append(b)
+    if not parts:
+        raise ValueError("empty dataset")
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def _way_geo_fn(nodes_ref):
+    """ways batch → (osm_id, xs, ys): node-coordinate lookup against the
+    broadcast nodes table (``pc.index_in``), list rebuild via offsets —
+    fully vectorized, no shuffle."""
+    from ..functions.broadcast import get_cached_transformed
+
+    def prep(tbl: pa.Table) -> dict:
+        return {
+            "ids": tbl["osm_id"].combine_chunks(),
+            "lon": tbl["lon"].combine_chunks(),
+            "lat": tbl["lat"].combine_chunks(),
+        }
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nd = get_cached_transformed(nodes_ref, "coords", prep)
+        nid = batch["node_ids"].combine_chunks()
+        flat = nid.flatten()
+        idx = pc.index_in(flat, value_set=nd["ids"])
+        lon = pc.take(nd["lon"], idx)
+        lat = pc.take(nd["lat"], idx)
+        offs = pa.array(
+            nid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        xs = pa.LargeListArray.from_arrays(offs, lon).cast(pa.list_(pa.float64()))
+        ys = pa.LargeListArray.from_arrays(offs, lat).cast(pa.list_(pa.float64()))
+        return pa.table({"osm_id": batch["osm_id"], "xs": xs, "ys": ys})
+
+    return fn
+
+
+def _zones_from_relations_fn(ways_ref, nodes_ref):
+    """relations batch → Zone rows: member ways/nodes resolved against the
+    broadcast tables (vectorized ``index_in`` + ``take`` per batch), then
+    the per-relation ring-assembly loop — ZERO shuffles end-to-end."""
+    from ..functions.broadcast import get_cached_transformed
+
+    def prep_ways(tbl: pa.Table) -> dict:
+        return {
+            "ids": tbl["osm_id"].combine_chunks(),
+            "xs": tbl["xs"].combine_chunks(),
+            "ys": tbl["ys"].combine_chunks(),
+        }
+
+    def prep_nodes(tbl: pa.Table) -> dict:
+        return {
+            "ids": tbl["osm_id"].combine_chunks(),
+            "lon": tbl["lon"].combine_chunks(),
+            "lat": tbl["lat"].combine_chunks(),
+            "tags": tbl["tags"].combine_chunks(),
+        }
+
+    def fn(batch: pa.Table) -> pa.Table:
+        batch = _filter_relations(batch)
+        if batch.num_rows == 0:
+            return _empty_zone_table()
+        w = get_cached_transformed(ways_ref, "ways", prep_ways)
+        nd = get_cached_transformed(nodes_ref, "nodes", prep_nodes)
+        mem = batch["members"].combine_chunks()
+        flat = mem.flatten()
+        roles = pc.struct_field(flat, "role").to_pylist()
+        kinds = pc.struct_field(flat, "ref_kind").to_pylist()
+        refs = pc.struct_field(flat, "ref_id")
+        minus1 = pa.scalar(-1, type=pa.int32())
+        widx = pc.fill_null(pc.index_in(refs, value_set=w["ids"]), minus1).to_numpy(
+            zero_copy_only=False
+        )
+        nidx = pc.fill_null(pc.index_in(refs, value_set=nd["ids"]), minus1).to_numpy(
+            zero_copy_only=False
+        )
+        # bulk-take per batch, ONE to_pylist each — per-member scalar
+        # ``Array[i].as_py()`` cost ~3.4 ms/relation (measured); bulk
+        # conversion is ~10× cheaper per element
+        wtake = pa.array(np.maximum(widx, 0), type=pa.int64())
+        xs_py = pc.take(w["xs"], wtake).to_pylist()
+        ys_py = pc.take(w["ys"], wtake).to_pylist()
+        ntake = pa.array(np.maximum(nidx, 0), type=pa.int64())
+        ntags_py = pc.take(nd["tags"], ntake).to_pylist()
+        nlon = pc.take(nd["lon"], ntake).to_numpy(zero_copy_only=False)
+        nlat = pc.take(nd["lat"], ntake).to_numpy(zero_copy_only=False)
+        offs = mem.offsets.to_numpy(zero_copy_only=False)
+        rel_ids = batch["osm_id"].to_pylist()
+        rel_tags = batch["tags"].to_pylist()
+        rows = []
+        for i in range(batch.num_rows):
+            tags = dict(rel_tags[i] or [])
+            name = tags.get("name")
+            if not name:
+                continue  # unnamed → skipped (zone_ext.rs:126-135)
+            lo, hi = offs[i], offs[i + 1]
+            outer_segs, inner_segs = [], []
+            label_node = None
+            centre_node = None
+            for j in range(lo, hi):
+                kind = kinds[j]
+                if kind == "way" and widx[j] >= 0:
+                    xs = xs_py[j]
+                    if xs is None or len(xs) < 2:
+                        continue
+                    seg = np.column_stack([xs, ys_py[j]])
+                    if roles[j] == "inner":
+                        inner_segs.append(seg)
+                    else:  # outer / enclave / empty role all treated as outer
+                        outer_segs.append(seg)
+                elif kind == "node" and nidx[j] >= 0:
+                    if roles[j] == "label" and label_node is None:
+                        label_node = j
+                    elif roles[j] == "admin_centre" and centre_node is None:
+                        centre_node = j
+            # label-node tag merge at construction (zone_ext.rs:166-181)
+            if label_node is not None:
+                for k, v in dict(ntags_py[label_node] or []).items():
+                    if k.startswith("name:") or k == "population":
+                        tags.setdefault(k, v)
+            outer_rings = assemble_rings(outer_segs)
+            if not outer_rings:
+                continue  # no boundary → zone skipped (lib.rs:78-81)
+            inner_rings = assemble_rings(inner_segs)
+            mpoly = build_polygons(outer_rings, inner_rings)
+            bbox = multipolygon_bbox(mpoly)
+            center_j = centre_node if centre_node is not None else label_node
+            if center_j is not None:
+                center = (float(nlon[center_j]), float(nlat[center_j]))
+                center_tags = dict(ntags_py[center_j] or [])
+            else:
+                center = multipolygon_centroid(mpoly)
+                if not (np.isfinite(center[0]) and np.isfinite(center[1])):
+                    center = (None, None)
+                center_tags = {}
+            rows.append(
+                _zone_row(rel_ids[i], tags, name, mpoly, bbox, center, center_tags)
+            )
+        if not rows:
+            return _empty_zone_table()
+        return pa.Table.from_pylist(rows, schema=ZONE_SCHEMA)
+
+    return fn
+
+
+def _zone_row(rel_id, tags, name, mpoly, bbox, center, center_tags) -> dict:
+    return {
+        "osm_id": f"relation:{rel_id}",
+        "zone_uid": f"relation:{rel_id}",
+        "kind": "relation",
+        "name": name,
+        "admin_level": _parse_level(tags.get("admin_level")),
+        "zone_type": None,
+        "loc_name": tags.get("loc_name", ""),
+        "alt_name": tags.get("alt_name", ""),
+        "zip_codes": _parse_zips(tags),
+        "wikidata": tags.get("wikidata"),
+        "tags": sorted(tags.items()),
+        "center_tags": sorted(center_tags.items()),
+        "center_lon": center[0],
+        "center_lat": center[1],
+        "boundary_wkb": multipolygon_to_wkb(mpoly),
+        "minx": bbox[0],
+        "miny": bbox[1],
+        "maxx": bbox[2],
+        "maxy": bbox[3],
+        "area": multipolygon_area(mpoly),
+        "is_generated": False,
+        "country_code": None,
+        "parent": None,
+        "label": "",
+        "international_labels": _EMPTY_TAGS,
+    }
+
+
+def assemble_zones_broadcast(
+    relations: rd.Dataset,
+    ways: rd.Dataset,
+    nodes: rd.Dataset,
+    cfg: EngineConfig,
+) -> rd.Dataset:
+    """Zero-shuffle assembly: nodes and way geometries are broadcast Arrow
+    tables (``ray.put`` once, zero-copy per worker); relation construction
+    is an embarrassingly-parallel ``map_batches`` over the relations table.
+    Scale bound: ways+nodes of the admin closure must fit in the object
+    store (the reference's own operating point, src/lib.rs:243-249); use
+    ``cfg.assembly_mode="distributed"`` beyond that."""
+    import ray
+
+    nodes_tbl = _collect_table(nodes)
+    nodes_ref = ray.put(nodes_tbl)
+    way_geo = ways.map_batches(_way_geo_fn(nodes_ref), batch_format="pyarrow")
+    ways_ref = ray.put(_collect_table(way_geo))
+    rel_zones = relations.map_batches(
+        _zones_from_relations_fn(ways_ref, nodes_ref), batch_format="pyarrow"
+    )
+    node_zones = nodes.map_batches(_node_zones, batch_format="pyarrow")
+    return rel_zones.union(node_zones)
+
+
+def assemble_zones_distributed(
+    relations: rd.Dataset,
+    ways: rd.Dataset,
+    nodes: rd.Dataset,
+    cfg: EngineConfig | None = None,
+) -> rd.Dataset:
     cfg = cfg or EngineConfig()
 
     rels = relations.map_batches(_filter_relations, batch_format="pyarrow")
@@ -313,37 +597,46 @@ def assemble_zones(
         right_schema=pa.schema(
             [("node_id", pa.int64()), ("lon", pa.float64()), ("lat", pa.float64())]
         ),
+        num_partitions=cfg.join_num_partitions,
     )
-    way_geo = grouped_map(wp, ["way_id"], _assemble_way, empty_schema=_WAY_GEO_SCHEMA)
 
-    # --- member branches --------------------------------------------------
+    # --- fused way assembly + member attach (ONE way_id shuffle) ----------
     way_members = members.map_batches(
         lambda t: t.filter(pc.equal(t["ref_kind"], "way")).rename_columns(
             ["rel_id", "role", "ref_kind", "way_id", "seq"]
         ),
         batch_format="pyarrow",
     )
-    wm = hash_join(
-        way_members.drop_columns(["ref_kind"]),
-        way_geo,
-        "way_id",
-        left_schema=pa.schema(
-            [
-                ("rel_id", pa.int64()),
-                ("role", pa.string()),
-                ("way_id", pa.int64()),
-                ("seq", pa.int32()),
-            ]
-        ),
-        right_schema=pa.schema(
-            [
-                ("way_id", pa.int64()),
-                ("xs", pa.list_(pa.float64())),
-                ("ys", pa.list_(pa.float64())),
-            ]
-        ),
+
+    def _pad_unified(cols_fixed: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            data = {}
+            for f in _WAYS_UNIFIED_SCHEMA:
+                if f.name in t.column_names:
+                    c = t[f.name]
+                    data[f.name] = c.cast(f.type) if c.type != f.type else c
+                elif f.name in cols_fixed:
+                    data[f.name] = pa.array(
+                        np.full(t.num_rows, cols_fixed[f.name]), type=f.type
+                    )
+                else:
+                    data[f.name] = pa.nulls(t.num_rows, type=f.type)
+            return pa.table(data, schema=_WAYS_UNIFIED_SCHEMA)
+
+        return fn
+
+    wp_tagged = wp.map_batches(_pad_unified({"src": 0}), batch_format="pyarrow")
+    wm_tagged = way_members.drop_columns(["ref_kind"]).map_batches(
+        _pad_unified({"src": 1}), batch_format="pyarrow"
     )
-    wm_part = wm.map_batches(
+    wm_with_geo = partitioned_map(
+        wp_tagged.union(wm_tagged),
+        ["way_id"],
+        _ways_partition,
+        num_partitions=cfg.join_num_partitions,
+        empty_schema=_WAYPART_SCHEMA,
+    )
+    wm_part = wm_with_geo.map_batches(
         lambda t: _part_table(
             {
                 "rel_id": t["rel_id"],
@@ -391,6 +684,7 @@ def assemble_zones(
                 ("tags", pa.map_(pa.string(), pa.string())),
             ]
         ),
+        num_partitions=cfg.join_num_partitions,
     )
     nm_part = nm.map_batches(
         lambda t: _part_table(
@@ -419,8 +713,12 @@ def assemble_zones(
     )
 
     parts = rel_part.union(wm_part, nm_part)
-    rel_zones = grouped_map(
-        parts, ["rel_id"], _build_zone_group, empty_schema=ZONE_SCHEMA
+    rel_zones = partitioned_map(
+        parts,
+        ["rel_id"],
+        _build_zones_partition,
+        num_partitions=cfg.join_num_partitions,
+        empty_schema=ZONE_SCHEMA,
     )
     node_zones = nodes.map_batches(_node_zones, batch_format="pyarrow")
     return rel_zones.union(node_zones)
