@@ -32,7 +32,7 @@ class EngineConfig:
     # 128 MiB target coalesces a whole fixture-scale shuffle into 1-2 blocks,
     # capping every downstream map stage at 1-2 tasks; zone rows carry wide
     # WKB payloads and ~1 ms/row construction cost, so small blocks win
-    build_block_size_bytes: int = 1 << 20
+    build_block_size_bytes: int = 8 << 20
     # "broadcast": zero-shuffle assembly — ways/nodes of the admin closure
     # are broadcast Arrow tables, relation construction is an
     # embarrassingly-parallel map (the reference's own in-RAM operating

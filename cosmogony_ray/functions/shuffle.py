@@ -93,6 +93,7 @@ def partitioned_map(
     *,
     num_partitions: int = 32,
     empty_schema: pa.Schema,
+    num_cpus: float | None = None,
 ) -> rd.Dataset:
     """Apply ONE vectorized ``fn(partition_table) -> Table|None`` per hash
     partition (all rows of a key land in the same partition). Use instead of
@@ -112,7 +113,10 @@ def partitioned_map(
             return empty_schema.empty_table()
         return out.combine_chunks()
 
-    return parted.groupby(PART_COL).map_groups(per_partition, batch_format="pyarrow")
+    kwargs = {"num_cpus": num_cpus} if num_cpus is not None else {}
+    return parted.groupby(PART_COL).map_groups(
+        per_partition, batch_format="pyarrow", **kwargs
+    )
 
 
 def distinct_rows(

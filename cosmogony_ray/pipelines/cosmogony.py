@@ -26,9 +26,10 @@ from ..sources.osm import read_osm_tables
 from ..stages.hierarchy import attach_parents, build_zone_meta, select_parents
 from ..stages.inclusion import find_inclusion_edges
 from ..stages.labels import (
+    attach_labels_broadcast,
     build_label_map,
     clean_untagged_zones,
-    compute_labels,
+    compute_labels_table,
     compute_names,
 )
 from ..stages.stats import compute_stats
@@ -184,8 +185,13 @@ def _build_inner(
 
     named = compute_names(with_parents).materialize()
     _tick("names")
+    # labels computed once on the driver (zone-side small) and attached via
+    # a broadcast index_in map: the per-worker chain-map build of the
+    # distributed compute_labels made the stage slower the MORE workers the
+    # cluster had (0.5 s transform x n_workers of tiny tasks)
     label_map = build_label_map(named)
-    labeled = compute_labels(named, label_map, cfg)
+    labels_tbl = compute_labels_table(label_map, tuple(cfg.filter_langs))
+    labeled = attach_labels_broadcast(named, ray.put(labels_tbl))
     _tick("label_map")
 
     # public schema only: working columns (ancestors, type_status) stay

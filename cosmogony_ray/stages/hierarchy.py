@@ -225,14 +225,18 @@ def attach_parents_broadcast(zones: rd.Dataset, parents_ref) -> rd.Dataset:
     table via one vectorized ``pc.index_in`` per batch (the zero-shuffle
     replacement for ``attach_parents`` when the map was computed
     driver-side)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.broadcast import get_cached
+    from ..functions.broadcast import get_cached, lookup_str_indices
 
     def fn(t: pa.Table) -> pa.Table:
         tbl = get_cached(parents_ref)
-        idx = pc.index_in(t["osm_id"], value_set=tbl["osm_id"].combine_chunks())
-        vals = pc.take(tbl["parent"].combine_chunks(), idx)
+        idx = lookup_str_indices(parents_ref, "osm_id", t["osm_id"].to_pylist())
+        vals = pc.take(
+            tbl["parent"].combine_chunks(),
+            pa.array(np.where(idx >= 0, idx, None), type=pa.int64()),
+        )
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         return t.set_column(

@@ -45,7 +45,7 @@ import ray.data as rd
 
 from ..config import EngineConfig
 from ..functions.shuffle import grouped_map
-from ..geom.predicates import PreparedPolygon, covers
+from ..geom.predicates import PreparedPolygon, covers_many
 from ..geom.wkb import multipolygon_from_wkb
 
 _CAND_SCHEMA = pa.schema(
@@ -233,11 +233,18 @@ def covers_tester_fn(geom_ref):
     id→row lookup is one vectorized ``pc.index_in`` per batch; prepared
     geometries are cached per worker keyed by row index (tasks reuse worker
     processes, so state is still built once per worker — SURVEY §7.2)."""
-    from ..functions.broadcast import get_cached_transformed
+    from ..functions.broadcast import get_cached_transformed, lookup_str_indices
 
     def _entry(tbl: pa.Table) -> dict:
+        import gc
+
+        # freeze the broadcast state out of cyclic-GC scans: at 10⁵+ zones
+        # the per-worker prepared cache grows to millions of tracked numpy
+        # objects and gen-2 collections dominated wall time (run-to-run 2×
+        # variance at K=16 worlds)
+        gc.collect()
+        gc.freeze()
         return {
-            "ids": tbl["osm_id"].combine_chunks(),
             "wkb": tbl["boundary_wkb"].combine_chunks(),
             "prep": {},
         }
@@ -245,38 +252,57 @@ def covers_tester_fn(geom_ref):
     def _prep(entry, idx: int) -> PreparedPolygon | None:
         if idx < 0:
             return None
-        p = entry["prep"].get(idx)
+        cache = entry["prep"]
+        p = cache.get(idx)
         if p is None:
+            if len(cache) > 150_000:
+                cache.clear()  # bound per-worker heap (GC pressure)
             try:
                 p = PreparedPolygon(
                     multipolygon_from_wkb(entry["wkb"][idx].as_py())
                 )
             except Exception:
                 return None  # invalid geometry → covers false (zone_ext.rs:247-273)
-            entry["prep"][idx] = p
+            cache[idx] = p
         return p
 
     def fn(batch: pa.Table) -> pa.Table:
         entry = get_cached_transformed(geom_ref, "prep", _entry)
-        minus1 = pa.scalar(-1, type=pa.int32())
-        ci = (
-            pc.fill_null(pc.index_in(batch["child"], value_set=entry["ids"]), minus1)
-            .to_numpy(zero_copy_only=False)
-        )
-        pi = (
-            pc.fill_null(pc.index_in(batch["parent"], value_set=entry["ids"]), minus1)
-            .to_numpy(zero_copy_only=False)
-        )
+        ci = lookup_str_indices(geom_ref, "osm_id", batch["child"].to_pylist())
+        pi = lookup_str_indices(geom_ref, "osm_id", batch["parent"].to_pylist())
         keep = np.zeros(len(ci), dtype=bool)
-        for i in range(len(ci)):
-            pp = _prep(entry, int(pi[i]))
-            cp = _prep(entry, int(ci[i]))
-            if pp is None or cp is None:
+        # group pairs by parent → one vectorized covers_many per parent run
+        # (bounded at ~4096 child edges per call for memory)
+        order = np.argsort(pi, kind="stable")
+        pi_s = pi[order]
+        runs = np.nonzero(np.r_[True, pi_s[1:] != pi_s[:-1]])[0]
+        run_ends = np.append(runs[1:], len(pi_s))
+        for rs, re_ in zip(runs, run_ends):
+            p_idx = int(pi_s[rs])
+            pp = _prep(entry, p_idx)
+            rows = order[rs:re_]
+            if pp is None:
                 continue
-            try:
-                keep[i] = covers(pp, cp)
-            except Exception:
-                keep[i] = False
+            preps_b = [_prep(entry, int(ci[r])) for r in rows]
+            # split so total child edges per call stays bounded (memory of
+            # the edge × point matrices in covers_many)
+            start = 0
+            while start < len(rows):
+                end = start
+                edges_acc = 0
+                while end < len(rows):
+                    e = preps_b[end].x1.size if preps_b[end] is not None else 0
+                    if end > start and edges_acc + e > 4096:
+                        break
+                    edges_acc += e
+                    end += 1
+                sub = preps_b[start:end]
+                try:
+                    res = covers_many(pp, sub)
+                except Exception:
+                    res = np.zeros(len(sub), dtype=bool)
+                keep[rows[start:end]] = res
+                start = end
         return batch.filter(pa.array(keep))
 
     return fn
@@ -328,10 +354,17 @@ def find_inclusion_edges(
     )
     if geom_ref is None:
         geom_ref = broadcast_geometries(boundary_zones)
-    edges = cands.map_batches(
+    # exact test partitioned BY PARENT: every pair of a parent lands in one
+    # partition, so one vectorized covers_many call handles a parent's whole
+    # child set (canonical-cell partitions left parent runs of 1-2 pairs per
+    # batch, collapsing covers_many back to per-pair overhead)
+    from ..functions.shuffle import partitioned_map
+
+    edges = partitioned_map(
+        cands,
+        ["parent"],
         covers_tester_fn(geom_ref),
-        batch_format="pyarrow",
-        batch_size=8192,
-        num_cpus=1,
+        num_partitions=cfg.join_num_partitions,
+        empty_schema=_CAND_SCHEMA,
     )
     return edges

@@ -73,6 +73,7 @@ _LABEL_MAP_SCHEMA = pa.schema(
         ("name", pa.string()),
         ("parent", pa.string()),
         ("intl", TAGS_T),
+        ("zip_codes", pa.list_(pa.string())),
     ]
 )
 
@@ -91,7 +92,7 @@ def build_label_map(named_zones: rd.Dataset) -> pa.Table:
     from ..functions.arrowtools import materialized_table
 
     full = materialized_table(named_zones).select(
-        ["zone_uid", "name", "tags", "parent"]
+        ["zone_uid", "name", "tags", "parent", "zip_codes"]
     )
     parts = []
     for b in full.to_batches(max_chunksize=65536):
@@ -120,6 +121,7 @@ def build_label_map(named_zones: rd.Dataset) -> pa.Table:
                     "name": b["name"],
                     "parent": b["parent"],
                     "intl": pa.array(intl, type=TAGS_T),
+                    "zip_codes": b["zip_codes"],
                 },
                 schema=_LABEL_MAP_SCHEMA,
             )
@@ -206,6 +208,78 @@ def compute_labels(
     return named_zones.map_batches(
         _labels_fn(map_ref, tuple(cfg.filter_langs)), batch_format="pyarrow"
     )
+
+
+def compute_labels_table(
+    label_map: pa.Table, filter_langs: tuple[str, ...]
+) -> pa.Table:
+    """Driver-side label computation for the zone-scale fast path: one
+    chain-walk pass over the label-map table → (zone_uid, label,
+    international_labels). Attached to the zones afterwards via a broadcast
+    ``pc.index_in`` map — avoids the per-worker chain-map build that made
+    the labels stage slower the MORE workers the cluster had."""
+    m = _label_table_to_map(label_map)
+    ids = label_map["zone_uid"].to_pylist()
+    zips_col = label_map["zip_codes"].to_pylist()
+    labels, intl_labels = [], []
+    for i, osm_id in enumerate(ids):
+        chain = _chain(osm_id, m)
+        zsuffix = format_zip_code(zips_col[i] or [])
+
+        def lbl(lang: str | None) -> str:
+            names = []
+            for cid in chain:
+                n0, intl, _ = m[cid]
+                n = intl.get(lang, n0) if lang is not None else n0
+                if not names or names[-1] != n:  # consecutive dedup (D1)
+                    names.append(n)
+            if names:
+                names[0] += zsuffix
+            return ", ".join(names)
+
+        langs = {l for cid in chain for l in m[cid][1]}
+        if filter_langs:
+            langs = {l for l in langs if l in filter_langs}
+        labels.append(lbl(None))
+        intl_labels.append(sorted((l, lbl(l)) for l in langs))
+    return pa.table(
+        {
+            "zone_uid": pa.array(ids, type=pa.string()),
+            "label": pa.array(labels, type=pa.string()),
+            "international_labels": pa.array(intl_labels, type=TAGS_T),
+        }
+    )
+
+
+def attach_labels_broadcast(named_zones: rd.Dataset, labels_ref) -> rd.Dataset:
+    """Set label columns from the broadcast (zone_uid, label,
+    international_labels) table — one vectorized index_in/take per batch
+    (zip suffix already applied in ``compute_labels_table``)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..functions.broadcast import get_cached, lookup_str_indices
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tbl = get_cached(labels_ref)
+        raw = lookup_str_indices(labels_ref, "zone_uid", batch["zone_uid"].to_pylist())
+        idx = pa.array(np.where(raw >= 0, raw, None), type=pa.int64())
+        label = pc.take(tbl["label"].combine_chunks(), idx)
+        intl = pc.take(tbl["international_labels"].combine_chunks(), idx)
+        if isinstance(label, pa.ChunkedArray):
+            label = label.combine_chunks()
+        if isinstance(intl, pa.ChunkedArray):
+            intl = intl.combine_chunks()
+        batch = batch.drop_columns(["label", "international_labels"])
+        batch = batch.append_column(
+            "label", pc.fill_null(label, "").cast(pa.string())
+        )
+        batch = batch.append_column(
+            "international_labels", pc.fill_null(intl, []).cast(TAGS_T)
+        )
+        return batch
+
+    return named_zones.map_batches(fn, batch_format="pyarrow")
 
 
 def clean_untagged_zones(zones: rd.Dataset) -> rd.Dataset:

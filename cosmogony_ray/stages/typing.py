@@ -67,14 +67,18 @@ def attach_ancestors_broadcast(zones: rd.Dataset, anc_ref) -> rd.Dataset:
     batch — zero-copy broadcast, no per-worker dict unpickling
     (zero-shuffle replacement for ``attach_ancestors`` when the table was
     computed driver-side via ``hierarchy.ancestors_from_edges_df``)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.broadcast import get_cached
+    from ..functions.broadcast import get_cached, lookup_str_indices
 
     def fn(t: pa.Table) -> pa.Table:
         tbl = get_cached(anc_ref)
-        idx = pc.index_in(t["osm_id"], value_set=tbl["osm_id"].combine_chunks())
-        lists = pc.take(tbl["ancestors"].combine_chunks(), idx)
+        idx = lookup_str_indices(anc_ref, "osm_id", t["osm_id"].to_pylist())
+        lists = pc.take(
+            tbl["ancestors"].combine_chunks(),
+            pa.array(np.where(idx >= 0, idx, None), type=pa.int64()),
+        )
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         return t.append_column("ancestors", lists.cast(ANCESTORS_T))

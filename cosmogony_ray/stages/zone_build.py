@@ -376,11 +376,10 @@ def _way_geo_fn(nodes_ref):
     """ways batch → (osm_id, xs, ys): node-coordinate lookup against the
     broadcast nodes table (``pc.index_in``), list rebuild via offsets —
     fully vectorized, no shuffle."""
-    from ..functions.broadcast import get_cached_transformed
+    from ..functions.broadcast import get_cached_transformed, lookup_int_indices
 
     def prep(tbl: pa.Table) -> dict:
         return {
-            "ids": tbl["osm_id"].combine_chunks(),
             "lon": tbl["lon"].combine_chunks(),
             "lat": tbl["lat"].combine_chunks(),
         }
@@ -389,7 +388,10 @@ def _way_geo_fn(nodes_ref):
         nd = get_cached_transformed(nodes_ref, "coords", prep)
         nid = batch["node_ids"].combine_chunks()
         flat = nid.flatten()
-        idx = pc.index_in(flat, value_set=nd["ids"])
+        raw = lookup_int_indices(
+            nodes_ref, "osm_id", flat.to_numpy(zero_copy_only=False)
+        )
+        idx = pa.array(np.where(raw >= 0, raw, None), type=pa.int64())
         lon = pc.take(nd["lon"], idx)
         lat = pc.take(nd["lat"], idx)
         offs = pa.array(
@@ -406,18 +408,16 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
     """relations batch → Zone rows: member ways/nodes resolved against the
     broadcast tables (vectorized ``index_in`` + ``take`` per batch), then
     the per-relation ring-assembly loop — ZERO shuffles end-to-end."""
-    from ..functions.broadcast import get_cached_transformed
+    from ..functions.broadcast import get_cached_transformed, lookup_int_indices
 
     def prep_ways(tbl: pa.Table) -> dict:
         return {
-            "ids": tbl["osm_id"].combine_chunks(),
             "xs": tbl["xs"].combine_chunks(),
             "ys": tbl["ys"].combine_chunks(),
         }
 
     def prep_nodes(tbl: pa.Table) -> dict:
         return {
-            "ids": tbl["osm_id"].combine_chunks(),
             "lon": tbl["lon"].combine_chunks(),
             "lat": tbl["lat"].combine_chunks(),
             "tags": tbl["tags"].combine_chunks(),
@@ -433,14 +433,9 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
         flat = mem.flatten()
         roles = pc.struct_field(flat, "role").to_pylist()
         kinds = pc.struct_field(flat, "ref_kind").to_pylist()
-        refs = pc.struct_field(flat, "ref_id")
-        minus1 = pa.scalar(-1, type=pa.int32())
-        widx = pc.fill_null(pc.index_in(refs, value_set=w["ids"]), minus1).to_numpy(
-            zero_copy_only=False
-        )
-        nidx = pc.fill_null(pc.index_in(refs, value_set=nd["ids"]), minus1).to_numpy(
-            zero_copy_only=False
-        )
+        refs = pc.struct_field(flat, "ref_id").to_numpy(zero_copy_only=False)
+        widx = lookup_int_indices(ways_ref, "osm_id", refs)
+        nidx = lookup_int_indices(nodes_ref, "osm_id", refs)
         # bulk-take per batch, ONE to_pylist each — per-member scalar
         # ``Array[i].as_py()`` cost ~3.4 ms/relation (measured); bulk
         # conversion is ~10× cheaper per element

@@ -139,3 +139,50 @@ def test_cover_then_probe_meet():
     ladder = g.cells_of_ladder(np.array([5.2]), np.array([5.2]))
     probe_cells = set(int(c) for c in ladder[:, 0])
     assert cover & probe_cells
+
+
+def test_covers_many_matches_scalar_covers():
+    """covers_many must agree with covers on nested, overlapping, touching,
+    disjoint, and hole-bearing cases."""
+    import numpy as np
+
+    from cosmogony_ray.geom.predicates import PreparedPolygon, covers, covers_many
+
+    def rect(x0, y0, w, h=None):
+        h = w if h is None else h
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]]
+        )
+        return PreparedPolygon([[ring]])
+
+    def rect_with_hole(x0, y0, w, hx, hy, hw):
+        outer = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + w], [x0, y0 + w], [x0, y0]]
+        )
+        hole = np.array(
+            [[hx, hy], [hx + hw, hy], [hx + hw, hy + hw], [hx, hy + hw], [hx, hy]]
+        )
+        return PreparedPolygon([[outer, hole]])
+
+    parent = rect(0, 0, 10)
+    holey = rect_with_hole(0, 0, 10, 4, 4, 2)
+    cases = [
+        rect(1, 1, 2),            # fully inside
+        rect(0, 0, 10),           # identical (covers: True, boundary-inclusive)
+        rect(0, 0, 5),            # corner-sharing inside
+        rect(-1, -1, 3),          # straddles boundary
+        rect(20, 20, 1),          # disjoint
+        rect(9, 9, 2),            # partially outside
+        rect(4.5, 4.5, 1),        # inside the hole region (for holey parent)
+        rect(1, 1, 8),            # spans across the hole (for holey parent)
+    ]
+    for pp in (parent, holey):
+        expected = np.array([covers(pp, c) for c in cases])
+        got = covers_many(pp, cases)
+        assert (got == expected).all(), (got, expected)
+    # rng fuzz: random small rects vs parent
+    rng = np.random.default_rng(7)
+    fuzz = [rect(*rng.uniform(-2, 9, 2), rng.uniform(0.1, 4)) for _ in range(200)]
+    expected = np.array([covers(parent, c) for c in fuzz])
+    got = covers_many(parent, fuzz)
+    assert (got == expected).all()
