@@ -378,25 +378,48 @@ def _q_media_features(sf_dir: str):
 
 def _q_user_sessions(sf_dir: str):
     """Sessionization (streaming-shaped op per ray_guide): per user, events
-    sorted by ts; a gap > 30 min starts a new session."""
+    sorted by ts; a gap > 30 min starts a new session. Hash-partitioned by
+    user, ONE vectorized pass per partition (per-key ``map_groups`` was one
+    Python call per user — the measured 8× collapse at high key counts)."""
+    from cosmogony_ray.functions.shuffle import partitioned_map
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_sessions", pa.int64()), ("n_events", pa.int64())]
+    )
+
+    def sessions_partition(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
         # microsecond precision to match SQL epoch() comparison exactly
-        gaps_us = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps_us > 1800 * 1_000_000).sum())
-        return pd.DataFrame(
+        ts_us = t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        n = len(uid)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts_us[1:] - ts_us[:-1]) > 1800 * 1_000_000
+        new_session = (new_user | gap).astype(np.int64)
+        starts = np.nonzero(new_user)[0]
+        segs = starts
+        n_sessions = np.add.reduceat(new_session, segs)
+        counts = np.diff(np.append(starts, n))
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
-            }
+                "user_id": pa.array(uid[starts], type=pa.int64()),
+                "n_sessions": pa.array(n_sessions, type=pa.int64()),
+                "n_events": pa.array(counts, type=pa.int64()),
+            },
+            schema=out_schema,
         )
 
-    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return partitioned_map(ds, ["user_id"], sessions_partition, empty_schema=out_schema)
 
 
 _STOP_EN = "the|and|of|to|in|is|that|with"

@@ -63,7 +63,7 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
 
 # ------------------------------------------------------------------ minhash
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _token_arrays(texts: list[str], n: int = 3) -> list[np.ndarray]:
@@ -83,45 +83,63 @@ def _token_arrays(texts: list[str], n: int = 3) -> list[np.ndarray]:
     return out
 
 
-def _minhash_sig(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perms,) signature via universal hashing ((a*x+b) mod p)."""
-    if shingles.size == 0:
-        return np.zeros(a.shape[0], dtype=np.uint64)
-    x = shingles[None, :].astype(np.object_)  # python ints avoid u64 overflow
-    vals = (a[:, None] * x + b[:, None]) % _MERSENNE
-    return np.array([int(v.min()) for v in vals], dtype=np.uint64)
+def _minhash_sigs_batch(
+    shingle_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """(n_docs, num_perms) signatures via universal hashing
+    ((a·x + b) mod 2^61-1) — pure u64 numpy for the WHOLE batch at once.
+
+    Overflow-free trick: multipliers ``a`` are 31-bit, shingle hashes are
+    <2^61; split x = xh·2^31 + xl, reduce a·xh·2^31 via the Mersenne
+    bit-rotation ((v·2^31) mod (2^61-1) is rotl61(v, 31)). The previous
+    object-dtype Python-int version cost ~10× per doc."""
+    num_perms = a.shape[0]
+    if not shingle_arrays:
+        return np.zeros((0, num_perms), dtype=np.uint64)
+    counts = np.fromiter((x.size for x in shingle_arrays), dtype=np.int64)
+    nonempty = [x for x in shingle_arrays if x.size]
+    if not nonempty:
+        return np.zeros((len(shingle_arrays), num_perms), dtype=np.uint64)
+    flat = np.concatenate(nonempty).astype(np.uint64)
+    P = _MERSENNE
+    xh = flat >> np.uint64(31)                 # < 2^30
+    xl = flat & np.uint64((1 << 31) - 1)       # < 2^31
+    a_col = a[:, None]                         # (perms, 1) u64, < 2^31
+    hi = (a_col * xh[None, :]) % P             # < 2^61
+    lo = (a_col * xl[None, :]) % P             # fits u64 pre-mod (< 2^62)
+    hi_rot = ((hi & np.uint64((1 << 30) - 1)) << np.uint64(31)) | (
+        hi >> np.uint64(30)
+    )                                          # (hi·2^31) mod P, bit-rotate
+    vals = (hi_rot % P + lo + b[:, None]) % P  # (perms, total)
+    ne_counts = counts[counts > 0]
+    segs = np.concatenate([[0], np.cumsum(ne_counts)[:-1]])
+    mins = np.minimum.reduceat(vals, segs, axis=1)  # (perms, n_nonempty)
+    out = np.zeros((len(shingle_arrays), num_perms), dtype=np.uint64)
+    out[counts > 0] = mins.T
+    return out
 
 
 def _perm_params(num_perms: int, seed: int = 42):
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(object)
-    b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64).astype(object)
+    a = rng.randint(1, (1 << 31) - 1, size=num_perms).astype(np.uint64)
+    b = rng.randint(0, (1 << 61) - 1, size=num_perms, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _verify_pairs_jaccard(
-    cands: rd.Dataset, shingle_map_ref, threshold_pct: int
-) -> rd.Dataset:
-    import ray
-
-    def verify(t: pa.Table) -> pa.Table:
-        from .broadcast import get_cached
-
-        m = get_cached(shingle_map_ref)
-        keep = []
-        da = t["doc_a"].to_pylist()
-        db = t["doc_b"].to_pylist()
-        for a_, b_ in zip(da, db):
-            sa, sb = m.get(a_), m.get(b_)
-            if sa is None or sb is None or sa.size == 0 or sb.size == 0:
-                keep.append(False)
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            keep.append(100 * inter >= threshold_pct * union)
-        return t.filter(pa.array(keep))
-
-    return cands.map_batches(verify, batch_format="pyarrow")
+def _verify_joined_pairs(t: pa.Table, threshold_pct: int) -> pa.Table:
+    """True n-gram Jaccard over the pair-joined text columns — shingles are
+    recomputed INSIDE the verify stage (streams; no whole-corpus driver
+    materialization)."""
+    sa_list = _token_arrays(t["text_a"].to_pylist())
+    sb_list = _token_arrays(t["text_b"].to_pylist())
+    keep = np.zeros(t.num_rows, dtype=bool)
+    for i, (sa, sb) in enumerate(zip(sa_list, sb_list)):
+        if sa.size == 0 or sb.size == 0:
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        keep[i] = 100 * inter >= threshold_pct * union
+    return t.filter(pa.array(keep))
 
 
 def _dedup_pair_ds(pairs: rd.Dataset) -> rd.Dataset:
@@ -141,29 +159,20 @@ def minhash_lsh_pairs(
     groupby buckets → verified true Jaccard ≥ threshold_pct/100).
     → (doc_a, doc_b), doc_a < doc_b.
 
-    Note: verification uses a broadcast doc→shingles map (documents side of
-    the comparison is re-hashed once; fine at correctness scale — the scale
-    path recomputes shingles inside the verify stage from a pair-joined text
-    column instead of broadcasting)."""
-    import ray
+    Scale shape end-to-end: banded-LSH blocking, pair dedup, then the
+    verify stage joins candidate pairs back to the text column (two hash
+    joins) and re-tokenizes INSIDE the stage — nothing corpus-sized is ever
+    collected on the driver."""
+    from .joins import hash_join
+    from .shuffle import grouped_map
 
     a, b = _perm_params(num_perms)
     rows = num_perms // bands
 
-    shingle_map: dict[int, np.ndarray] = {}
     sig_ds = ds.map_batches(
         _SigFn(a, b, num_perms, bands, rows, text_col),
         batch_format="pyarrow",
     )
-    # shingle map for the verify stage (broadcast small side)
-    for t in ds.select_columns(["doc_id", text_col]).iter_batches(
-        batch_size=2048, batch_format="pyarrow"
-    ):
-        ids = t["doc_id"].to_pylist()
-        shs = _token_arrays(t[text_col].to_pylist())
-        for i, s in zip(ids, shs):
-            shingle_map[i] = s
-    ref = ray.put(shingle_map)
 
     def cand(key: tuple, group: pa.Table) -> pa.Table | None:
         ids = sorted(group["doc_id"].to_pylist())
@@ -179,13 +188,38 @@ def minhash_lsh_pairs(
             schema=_PAIR_SCHEMA,
         )
 
-    from .shuffle import grouped_map
-
     cands = grouped_map(
         sig_ds, ["band", "band_hash"], cand, empty_schema=_PAIR_SCHEMA
     )
-    verified = _verify_pairs_jaccard(_dedup_pair_ds(cands), ref, threshold_pct)
-    return verified
+    pairs = _dedup_pair_ds(cands)
+    docs_a = ds.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "text_a": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    docs_b = ds.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "text_b": t[text_col]}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        pairs,
+        docs_a,
+        "doc_a",
+        left_schema=_PAIR_SCHEMA,
+        right_schema=pa.schema([("doc_a", pa.int64()), ("text_a", pa.string())]),
+    )
+    j2 = hash_join(
+        j1,
+        docs_b,
+        "doc_b",
+        left_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
+        ),
+        right_schema=pa.schema([("doc_b", pa.int64()), ("text_b", pa.string())]),
+    )
+    verified = j2.map_batches(
+        lambda t: _verify_joined_pairs(t, threshold_pct), batch_format="pyarrow"
+    )
+    return verified.select_columns(["doc_a", "doc_b"])
 
 
 class _SigFn:
@@ -199,9 +233,10 @@ class _SigFn:
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         shingles = _token_arrays(t[self.text_col].to_pylist())
+        sigs = _minhash_sigs_batch(shingles, self.a, self.b)  # (n, perms)
         band_col, hash_col, id_col = [], [], []
-        for d, sh in zip(ids, shingles):
-            sig = _minhash_sig(sh, self.a, self.b)
+        for di, d in enumerate(ids):
+            sig = sigs[di]
             for bi in range(self.bands):
                 seg = sig[bi * self.rows : (bi + 1) * self.rows]
                 h = hashlib.md5(seg.tobytes() + bytes([bi])).hexdigest()[:16]
@@ -229,16 +264,51 @@ def simhash_pairs(
 
     def sig(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
-        out_band, out_key, out_id, out_sig = [], [], [], []
-        for d, s in zip(ids, t[text_col].to_pylist()):
+        texts = t[text_col].to_pylist()
+        # tokenize once; md5 only per UNIQUE token in the batch; the ±1 bit
+        # accumulation is one reduceat over the flat token-bit matrix (the
+        # per-token Python loop cost ~1 ms/doc)
+        flat_tokens: list[str] = []
+        counts = np.empty(len(ids), dtype=np.int64)
+        for i, s in enumerate(texts):
             toks = [x for x in (s or "").lower().split() if x]
-            acc = np.zeros(64, dtype=np.int64)
-            shifts = np.arange(64, dtype=np.uint64)
-            for tok in toks:
-                h = np.uint64(int(hashlib.md5(tok.encode()).hexdigest()[:16], 16))
-                bits = (h >> shifts) & np.uint64(1)
-                acc += np.where(bits == 1, 1, -1)
-            sh = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            counts[i] = len(toks)
+            flat_tokens.extend(toks)
+        vocab: dict[str, int] = {}
+        tok_idx = np.empty(len(flat_tokens), dtype=np.int64)
+        for j, tok in enumerate(flat_tokens):
+            k = vocab.get(tok)
+            if k is None:
+                k = len(vocab)
+                vocab[tok] = k
+            tok_idx[j] = k
+        hs = np.fromiter(
+            (int(hashlib.md5(tok.encode()).hexdigest()[:16], 16) for tok in vocab),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        n = len(ids)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        nonzero = counts > 0
+        if tok_idx.size and len(vocab):
+            vb = (
+                ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                * 2
+                - 1
+            )
+            contrib = vb[tok_idx]  # (flat, 64) of ±1
+            # reduceat start offsets for the NON-EMPTY docs only (a
+            # zero-length segment would re-read the next doc's first row)
+            ne_counts = counts[nonzero]
+            segs = np.concatenate([[0], np.cumsum(ne_counts)[:-1]]).astype(np.int64)
+            acc[nonzero] = np.add.reduceat(contrib, segs, axis=0)
+        sig64 = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out_band, out_key, out_id, out_sig = [], [], [], []
+        for i, d in enumerate(ids):
+            sh = int(sig64[i])
             for bi in range(4):
                 out_band.append(bi)
                 out_key.append((sh >> (16 * bi)) & 0xFFFF)
@@ -296,25 +366,103 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    bucket_col: str | None = "label",
+    bucket_col: str | None = None,
+    tables: int = 12,
+    planes: int = 3,
+    seed: int = 7,
 ) -> rd.Dataset:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold), bucketed by
-    ``bucket_col`` (hash/IVF bucket at scale; here the given column) —
-    per-bucket brute-force cosine in one numpy matmul per group.
-    → (id_a, id_b)."""
+    """Embedding-cosine near-dup pairs (cos ≥ threshold). → (id_a, id_b).
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
+    Bucketing (the blocking step before per-bucket brute force):
+    - default: sign-random-projection **LSH buckets** — ``tables``
+      independent ``planes``-bit tables; a pair is a candidate when it
+      shares a bucket in any table. Needs no semantic column, so it works
+      on real corpora. Recall for a pair at cosine c per table is
+      (1-acos(c)/π)^planes; defaults give ≥0.95 expected recall at c≥0.4
+      (verified against the exact pair set in tests/test_similarity.py).
+    - ``bucket_col``: partition by a given column instead (IVF-style when a
+      cluster id exists).
+    Exact cosine verification inside buckets either way; pair set deduped."""
+    from .shuffle import distinct_rows, partitioned_map
+
+    _EDP_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def pairs_in(ids: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         order = np.argsort(ids)
         ids = ids[order]
-        m = np.stack(g[vec_col].to_numpy()[order]).astype(np.float64)
+        m = m[order]
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
         cos = mn @ mn.T
         ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return ids[ia], ids[ib]
 
-    if bucket_col is None:
-        raise NotImplementedError("global brute-force requires a bucket column")
-    return ds.groupby(bucket_col).map_groups(per_bucket, batch_format="pandas")
+    if bucket_col is not None:
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ids = g[id_col].to_numpy()
+            m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+            a_, b_ = pairs_in(ids, m)
+            return pd.DataFrame({"id_a": a_, "id_b": b_})
+
+        return ds.groupby(bucket_col).map_groups(per_bucket, batch_format="pandas")
+
+    rng = np.random.RandomState(seed)
+    d_holder: dict = {}
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        if "pm" not in d_holder:
+            prng = np.random.RandomState(seed)
+            d_holder["pm"] = prng.normal(size=(tables, planes, m.shape[1]))
+        pm = d_holder["pm"]
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        weights = (1 << np.arange(planes, dtype=np.int64)).astype(np.int64)
+        out_t, out_b, out_id, out_vec = [], [], [], []
+        for ti in range(tables):
+            bits = (pm[ti] @ m.T) > 0
+            buckets = (bits.T @ weights).astype(np.int64)
+            out_t.append(np.full(len(ids), ti, dtype=np.int32))
+            out_b.append(buckets)
+            out_id.append(ids)
+            out_vec.extend(t[vec_col].to_pylist())
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(out_t), type=pa.int32()),
+                "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
+                id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
+                vec_col: pa.array(out_vec),
+            }
+        )
+
+    rows = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def per_partition(part: pa.Table) -> pa.Table | None:
+        from .shuffle import iter_key_groups
+
+        out_a, out_b = [], []
+        for _, g in iter_key_groups(part, ["table", "bucket"]):
+            if g.num_rows < 2:
+                continue
+            ids = np.asarray(g[id_col].to_pylist(), dtype=np.int64)
+            m = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in g[vec_col].to_pylist()]
+            )
+            a_, b_ = pairs_in(ids, m)
+            out_a.append(a_)
+            out_b.append(b_)
+        if not out_a:
+            return None
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            },
+            schema=_EDP_SCHEMA,
+        )
+
+    cands = partitioned_map(
+        rows, ["table", "bucket"], per_partition, empty_schema=_EDP_SCHEMA
+    )
+    return distinct_rows(cands, ["id_a", "id_b"])

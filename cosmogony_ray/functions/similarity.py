@@ -116,38 +116,72 @@ def knn_lsh(
     ds: rd.Dataset,
     queries_ref,
     k: int = 10,
-    planes: int = 12,
+    tables: int = 5,
+    planes: int = 6,
     seed: int = 42,
+    probes: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> rd.Dataset:
-    """LSH-bucketed ANN: sign-random-projection bucket per vector; queries
-    probe their own bucket (single-probe). Approximate recall, exact re-rank
-    inside buckets. → (query_id, vec_id, rank)."""
+    """Multi-table multi-probe LSH ANN: ``tables`` independent
+    sign-random-projection hash tables of ``planes`` bits; a vector is a
+    candidate for a query if, in ANY table, its bucket is within hamming
+    distance ≤ ``probes`` of the query's bucket. Exact cosine re-rank over
+    the candidate set. → (query_id, vec_id, rank).
+
+    Single-table single-probe had a recall cliff (0.26 recall@10 on the
+    sf0.01 embeddings, whose true top-10 neighbors sit at cosine ~0.3 —
+    near-hyperplane for every plane). Measured recall@10 vs the exact
+    ``knn_brute`` oracle on sf0.01 (5 queries): defaults (5×6 bits,
+    probes=2) → ≥0.9, asserted in tests/test_similarity.py. On clustered
+    real-scale corpora the same machinery runs with deeper ``planes`` (and
+    hence far smaller candidate fractions); the knobs trade recall for
+    candidate-set size."""
     q = ray.get(queries_ref)
     d = q["mat"].shape[1]
     rng = np.random.RandomState(seed)
-    planes_m = rng.normal(size=(planes, d))
+    planes_m = rng.normal(size=(tables, planes, d))
     planes_ref = ray.put(planes_m)
-    qbuck = ((planes_m @ q["mat"].T) > 0).astype(np.uint32)
-    qbucket_ids = (qbuck.T @ (1 << np.arange(planes, dtype=np.uint32))).astype(np.int64)
-    wanted = ray.put(
-        {int(b): [int(q["ids"][i]) for i in np.nonzero(qbucket_ids == b)[0]] for b in set(qbucket_ids.tolist())}
+    weights = (1 << np.arange(planes, dtype=np.uint32)).astype(np.int64)
+    # per table: probe-set of bucket ids per query → wanted bucket set
+    wanted_per_table: list[set[int]] = [set() for _ in range(tables)]
+    for ti in range(tables):
+        qbits = (planes_m[ti] @ q["mat"].T) > 0  # (planes, nq)
+        qbuckets = (qbits.T @ weights).astype(np.int64)
+        for b in qbuckets.tolist():
+            frontier = {int(b)}
+            seen = {int(b)}
+            for _ in range(probes):
+                nxt = set()
+                for bb in frontier:
+                    for bit in range(planes):
+                        nb = bb ^ (1 << bit)
+                        if nb not in seen:
+                            seen.add(nb)
+                            nxt.add(nb)
+                frontier = nxt
+            wanted_per_table[ti] |= seen
+    wanted_ref = ray.put(
+        [np.array(sorted(w), dtype=np.int64) for w in wanted_per_table]
     )
 
     def bucketize(t: pa.Table) -> pa.Table:
         from .broadcast import get_cached
 
         pm = get_cached(planes_ref)
-        want = get_cached(wanted)
+        want = get_cached(wanted_ref)
         m = _normalize(_as_matrix(t[vec_col].to_pylist()))
-        bits = ((pm @ m.T) > 0).astype(np.uint32)
-        buckets = (bits.T @ (1 << np.arange(planes, dtype=np.uint32))).astype(np.int64)
-        keep = np.array([int(b) in want for b in buckets])
+        keep = np.zeros(m.shape[0], dtype=bool)
+        for ti in range(pm.shape[0]):
+            bits = (pm[ti] @ m.T) > 0
+            buckets = (bits.T @ weights).astype(np.int64)
+            w = want[ti]
+            pos = np.searchsorted(w, buckets)
+            pos = np.minimum(pos, len(w) - 1) if len(w) else pos
+            keep |= (len(w) > 0) & (w[pos] == buckets)
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)[keep]
         return pa.table(
             {
-                "bucket": pa.array(buckets[keep], type=pa.int64()),
                 id_col: pa.array(ids, type=pa.int64()),
                 vec_col: pa.array(
                     [v for v, kp in zip(t[vec_col].to_pylist(), keep) if kp]

@@ -1,0 +1,73 @@
+"""ANN recall gate: knn_lsh multi-probe must reach recall@10 >= 0.9 against
+the exact knn_brute oracle on the sf0.01 embeddings."""
+
+import os
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")),
+    reason="sf0.01 testdata not present",
+)
+def test_knn_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from cosmogony_ray.functions.similarity import (
+        broadcast_queries,
+        knn_brute,
+        knn_lsh,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qids = [0, 1, 2, 3, 4]
+    qref = broadcast_queries(ds, qids, "embedding", "vec_id")
+    exact = knn_brute(ds, qref, k=10).to_pandas()
+    approx = knn_lsh(ds, qref, k=10, probes=2).to_pandas()
+    hits = 0
+    total = 0
+    for q in qids:
+        want = set(exact[exact["query_id"] == q]["vec_id"])
+        got = set(approx[approx["query_id"] == q]["vec_id"])
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.9, f"recall@10 = {recall:.2f} < 0.9"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF_DIR, "embeddings.parquet")),
+    reason="sf0.01 testdata not present",
+)
+def test_embedding_dup_lsh_recall(ray_session):
+    """LSH-bucketed embedding dedup must recover >=90% of the exact pair
+    set at cos >= 0.4 (no semantic bucket column involved)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cosmogony_ray.functions.dedup import embedding_dup_pairs
+
+    ds = rd.read_parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = embedding_dup_pairs(ds, threshold=0.4).to_pandas()
+    got_pairs = {tuple(r) for r in got[["id_a", "id_b"]].to_numpy()}
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist())
+    m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    order = np.argsort(ids)
+    ids, m = ids[order], m[order]
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cos = m @ m.T
+    ia, ib = np.nonzero(np.triu(cos >= 0.4, k=1))
+    want_pairs = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    assert want_pairs, "fixture should contain some close pairs"
+    assert not (got_pairs - want_pairs), "LSH path must not invent pairs"
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.9, f"pair recall = {recall:.2f} < 0.9"
