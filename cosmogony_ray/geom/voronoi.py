@@ -131,31 +131,51 @@ def clip_by_convex(mpoly: MultiPolygon, convex_ring: np.ndarray) -> MultiPolygon
 def subtract(subject: MultiPolygon, subtrahends: list[MultiPolygon]) -> MultiPolygon | None:
     """subject − ∪subtrahends via even-odd holes; returns None when the
     difference is (near-)empty — callers then keep the original boundary
-    (reference quirk, see module docstring)."""
+    (reference quirk, see module docstring).
+
+    Every subtrahend is first CLIPPED to the subject (exact even-odd
+    boolean intersection, geom.boolean): inserting an unclipped straddling
+    ring flips parity OUTSIDE the subject too, and its full area
+    over-counted ``removed_area`` into false empty-difference results
+    (round-1 ADVICE). Fully-inside subtrahends skip the clip (covers fast
+    path); disjoint ones contribute nothing. The emptiness check uses the
+    even-odd area of the ACTUAL output ring set, so it is consistent with
+    the emitted geometry even when subtrahends overlap each other."""
+    from .boolean import even_odd_area, intersection_even_odd
+    from .predicates import PreparedPolygon, bbox_contains, covers
+
     if not subtrahends:
         return subject
-    removed_area = 0.0
+    try:
+        subj_prep = PreparedPolygon(subject)
+    except ValueError:
+        return subject
     holes: list[np.ndarray] = []
-    subj_bbox_area = multipolygon_area(subject)
     for sub in subtrahends:
-        for rings in sub:
-            ext = rings[0]
-            a = abs(ring_signed_area(ext))
-            if a <= _EPS_AREA:
-                continue
-            holes.append(ext[::-1].copy())
-            removed_area += a
-            for hole in rings[1:]:
-                ha = abs(ring_signed_area(hole))
-                if ha > _EPS_AREA:
-                    holes.append(hole[::-1].copy())
-                    removed_area -= ha
+        try:
+            sub_prep = PreparedPolygon(sub)
+        except ValueError:
+            continue
+        if bbox_contains(subj_prep.bbox, sub_prep.bbox) and covers(
+            subj_prep, sub_prep
+        ):
+            # fully inside — rings carry over unchanged (exact)
+            for rings in sub:
+                for ring in rings:
+                    if abs(ring_signed_area(ring)) > _EPS_AREA:
+                        holes.append(ring[::-1].copy())
+            continue
+        clipped = intersection_even_odd(sub, subject)
+        for ring in clipped:
+            if abs(ring_signed_area(ring)) > _EPS_AREA:
+                holes.append(ring[::-1].copy())
     if not holes:
         return subject
-    if subj_bbox_area - removed_area <= _EPS_AREA:
+    subj_rings = [r for rings in subject for r in rings]
+    if even_odd_area(subj_rings + holes) <= _EPS_AREA:
         return None  # empty difference
     out = [list(rings) for rings in subject]
-    # attach all subtrahend rings to the first polygon (even-odd semantics:
+    # attach all clipped rings to the first polygon (even-odd semantics:
     # ring membership in a particular polygon does not change parity)
     out[0] = list(out[0]) + holes
     return normalize_orientation(out)

@@ -134,6 +134,47 @@ class ZoneState:
                 )
                 self.area.append(r["area"] if r["area"] is not None else 0.0)
         self._prepared: dict[int, PreparedPolygon] = {}
+        # cell → zone-index inverted index (the R-tree analog the reference
+        # probes in additional_zones.rs:102-120); parent lookup and
+        # subtraction prefilter probe cells instead of scanning every zone
+        from ..config import EngineConfig
+
+        self.cells = EngineConfig().cells()
+        self.cell_map: dict[int, list[int]] = {}
+        for i, bb in enumerate(self.bbox):
+            if bb is None or self.wkb[i] is None:
+                continue
+            res = self.cells.cover_res_for_bbox(bb)
+            for c in self.cells.cover_bbox(bb, res):
+                self.cell_map.setdefault(int(c), []).append(i)
+
+    def candidates_for_point(self, lon: float, lat: float) -> list[int]:
+        """Zone indices whose covering cells contain the point (all ladder
+        resolutions probed — zones index at their own coarsened res)."""
+        out: list[int] = []
+        seen: set[int] = set()
+        for c in self.cells.cells_of_ladder(lon, lat)[:, 0]:
+            for i in self.cell_map.get(int(c), ()):
+                if i not in seen:
+                    seen.add(i)
+                    out.append(i)
+        return out
+
+    def candidates_for_bbox(self, bbox: tuple) -> list[int] | None:
+        """Zone indices whose covering cells intersect the bbox; None when
+        the bbox is so large that cell enumeration would exceed the full
+        scan it replaces (caller falls back to the linear pass)."""
+        out: list[int] = []
+        seen: set[int] = set()
+        for r in self.cells.ladder:
+            if self.cells._bbox_cover_count(bbox, r) > 4096:
+                return None
+            for c in self.cells.cover_bbox(bbox, r):
+                for i in self.cell_map.get(int(c), ()):
+                    if i not in seen:
+                        seen.add(i)
+                        out.append(i)
+        return out
 
     def prep(self, i: int) -> PreparedPolygon | None:
         p = self._prepared.get(i)
@@ -155,12 +196,14 @@ class ZoneState:
 
 
 def _find_parent(state: ZoneState, lon: float, lat: float) -> int | None:
-    """J3: candidates admin type ≥ City, sorted (type, area, uid), first
-    containing the center (additional_zones.rs:102-120)."""
+    """J3: cell-index candidates with admin type ≥ City, sorted (type, area,
+    uid), first containing the center — the reference's R-tree probe
+    (additional_zones.rs:102-120) at the same complexity; the former
+    O(zones) Python scan per place was the ivory-coast-scale bottleneck."""
     city_rank = ZONE_TYPE_RANK["city"]
     cand = [
         i
-        for i in range(len(state.uid))
+        for i in state.candidates_for_point(lon, lat)
         if (r := state.admin_type_rank(i)) is not None
         and r >= city_rank
         and state.bbox[i] is not None
@@ -179,9 +222,13 @@ def _places_to_subtract(
     state: ZoneState, bbox: tuple, ztype: str | None, parent_uid: str
 ) -> list[int]:
     """zones intersecting bbox with admin type == ztype or parent == parent
-    (additional_zones.rs:237-254); exact intersect deferred to clipping."""
+    (additional_zones.rs:237-254); candidates from the cell index, exact
+    intersect deferred to clipping."""
+    cand = state.candidates_for_bbox(bbox)
+    if cand is None:
+        cand = range(len(state.uid))
     out = []
-    for i in range(len(state.uid)):
+    for i in cand:
         r = state.admin_type_rank(i)
         if r is None or state.bbox[i] is None:
             continue
@@ -189,7 +236,7 @@ def _places_to_subtract(
             continue
         if bbox_intersects(state.bbox[i], bbox):
             out.append(i)
-    return out
+    return sorted(out)
 
 
 def _make_zone_row(place: dict, uid: str, parent_uid: str, mpoly) -> dict:
