@@ -5,6 +5,9 @@
       [--country-code XX] [--disable-voronoi] [--filter-langs fr,de]
       [--rules-dir DIR] [--num-cpus N]
   python -m cosmogony_ray merge A.jsonl B.jsonl ... --output merged.jsonl
+  python -m cosmogony_ray ingest extract.osm.pbf --output <osm_tables_dir>
+      (PBF → nodes/ways/relations parquet; the S1 ingestion frontend —
+      "generate --input" then consumes the directory)
 
 The CLI owns the Ray session (guarded init; library code never inits)."""
 
@@ -55,6 +58,14 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    from .sources.pbf import pbf_to_parquet
+
+    pbf_to_parquet(args.pbf, args.output)
+    print(f"wrote OSM tables to {args.output}", file=sys.stderr)
+    return 0
+
+
 def cmd_merge(args) -> int:
     from .sources.cosmogony_io import merge_cosmogonies
 
@@ -76,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--rules-dir", required=True)
     g.add_argument("--num-cpus", type=int, default=None)
     g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("ingest", help="split a .osm.pbf into the three parquet tables")
+    i.add_argument("pbf")
+    i.add_argument("--output", "-o", required=True)
+    i.set_defaults(fn=cmd_ingest)
 
     m = sub.add_parser("merge", help="merge streamable cosmogony files")
     m.add_argument("inputs", nargs="+")

@@ -34,7 +34,7 @@ class PreparedPolygon:
     (the analog of shapely's prepared geometry / the reference's cloned GEOS
     geoms in /root/reference/src/additional_zones.rs:364-368)."""
 
-    __slots__ = ("x1", "y1", "x2", "y2", "bbox", "mpoly", "vx", "vy")
+    __slots__ = ("x1", "y1", "x2", "y2", "bbox", "mpoly", "vx", "vy", "_stripes")
 
     def __init__(self, mpoly: MultiPolygon):
         xs1, ys1, xs2, ys2 = [], [], [], []
@@ -61,6 +61,36 @@ class PreparedPolygon:
             float(max(self.y1.max(), self.y2.max())),
         )
         self.mpoly = mpoly
+        self._stripes = None  # lazy y-stripe edge index (big polygons)
+
+    # real admin boundaries carry 10^4-10^5 edges; a flat O(edges) scan per
+    # point made one covers() call on a country polygon cost seconds. The
+    # stripe index buckets edges by the y-stripes they span, so a point only
+    # tests the edges of its own stripe — classic scanline bucketing (the
+    # in-kernel analog of GEOS prepared geometries' edge index).
+    _STRIPE_MIN_EDGES = 512
+
+    def _stripe_index(self):
+        if self._stripes is None:
+            n_bins = max(8, min(1024, self.x1.size // 16))
+            ymin, ymax = self.bbox[1], self.bbox[3]
+            height = max(ymax - ymin, 1e-300)
+            elo = np.minimum(self.y1, self.y2)
+            ehi = np.maximum(self.y1, self.y2)
+            blo = np.clip(((elo - ymin) / height * n_bins).astype(np.int64), 0, n_bins - 1)
+            bhi = np.clip(((ehi - ymin) / height * n_bins).astype(np.int64), 0, n_bins - 1)
+            counts = bhi - blo + 1
+            edge_rep = np.repeat(np.arange(self.x1.size, dtype=np.int64), counts)
+            within = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            bin_of = blo[edge_rep] + within
+            order = np.argsort(bin_of, kind="stable")
+            sorted_edges = edge_rep[order]
+            bin_sorted = bin_of[order]
+            starts = np.searchsorted(bin_sorted, np.arange(n_bins + 1))
+            self._stripes = (n_bins, ymin, height, sorted_edges, starts)
+        return self._stripes
 
     def covers_points(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         """Boundary-inclusive point-in-multipolygon, vectorized over points.
@@ -71,27 +101,21 @@ class PreparedPolygon:
         """
         return self.locate_points(px, py)[0]
 
-    def locate_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Return ``(covered, on_boundary)`` boolean masks for the points."""
-        px = np.asarray(px, dtype=np.float64)
-        py = np.asarray(py, dtype=np.float64)
-        n = px.shape[0]
-        inside = np.zeros(n, dtype=bool)
-        boundary = np.zeros(n, dtype=bool)
-        minx, miny, maxx, maxy = self.bbox
-        in_bbox = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
-        idx = np.nonzero(in_bbox)[0]
-        if idx.size == 0:
-            return inside, boundary
-        qx = px[idx]
-        qy = py[idx]
-        cross = np.zeros(idx.size, dtype=np.int64)
-        on_edge = np.zeros(idx.size, dtype=bool)
-        for s in range(0, self.x1.size, _EDGE_CHUNK):
-            ex1 = self.x1[s : s + _EDGE_CHUNK][:, None]
-            ey1 = self.y1[s : s + _EDGE_CHUNK][:, None]
-            ex2 = self.x2[s : s + _EDGE_CHUNK][:, None]
-            ey2 = self.y2[s : s + _EDGE_CHUNK][:, None]
+    def _locate_kernel(self, qx, qy, edge_sel=None):
+        """(crossing count, on-edge flag) for points against (a subset of)
+        the edge arrays, chunked over edges."""
+        if edge_sel is None:
+            x1, y1, x2, y2 = self.x1, self.y1, self.x2, self.y2
+        else:
+            x1, y1 = self.x1[edge_sel], self.y1[edge_sel]
+            x2, y2 = self.x2[edge_sel], self.y2[edge_sel]
+        cross = np.zeros(qx.size, dtype=np.int64)
+        on_edge = np.zeros(qx.size, dtype=bool)
+        for s in range(0, x1.size, _EDGE_CHUNK):
+            ex1 = x1[s : s + _EDGE_CHUNK][:, None]
+            ey1 = y1[s : s + _EDGE_CHUNK][:, None]
+            ex2 = x2[s : s + _EDGE_CHUNK][:, None]
+            ey2 = y2[s : s + _EDGE_CHUNK][:, None]
             # crossing test: edge straddles the horizontal line through qy
             straddle = (ey1 > qy[None, :]) != (ey2 > qy[None, :])
             # x of intersection of edge with that horizontal line
@@ -110,6 +134,45 @@ class PreparedPolygon:
                 & (qy[None, :] <= np.maximum(ey1, ey2))
             )
             on_edge |= np.any((cp == 0.0) & within, axis=0)
+        return cross, on_edge
+
+    def locate_points(self, px: np.ndarray, py: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return ``(covered, on_boundary)`` boolean masks for the points."""
+        px = np.asarray(px, dtype=np.float64)
+        py = np.asarray(py, dtype=np.float64)
+        n = px.shape[0]
+        inside = np.zeros(n, dtype=bool)
+        boundary = np.zeros(n, dtype=bool)
+        minx, miny, maxx, maxy = self.bbox
+        in_bbox = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
+        idx = np.nonzero(in_bbox)[0]
+        if idx.size == 0:
+            return inside, boundary
+        qx = px[idx]
+        qy = py[idx]
+        if self.x1.size >= self._STRIPE_MIN_EDGES:
+            # stripe path: each point only tests its y-stripe's edges
+            n_bins, ymin, height, sorted_edges, starts = self._stripe_index()
+            bins = np.clip(
+                ((qy - ymin) / height * n_bins).astype(np.int64), 0, n_bins - 1
+            )
+            order = np.argsort(bins, kind="stable")
+            bins_s = bins[order]
+            runs = np.nonzero(np.r_[True, bins_s[1:] != bins_s[:-1]])[0]
+            ends = np.append(runs[1:], bins_s.size)
+            cross = np.zeros(qx.size, dtype=np.int64)
+            on_edge = np.zeros(qx.size, dtype=bool)
+            for rs, re_ in zip(runs, ends):
+                b = int(bins_s[rs])
+                sel = order[rs:re_]
+                edges = sorted_edges[starts[b] : starts[b + 1]]
+                if edges.size == 0:
+                    continue
+                c, o = self._locate_kernel(qx[sel], qy[sel], edges)
+                cross[sel] = c
+                on_edge[sel] = o
+        else:
+            cross, on_edge = self._locate_kernel(qx, qy)
         inside[idx] = (cross % 2 == 1) | on_edge
         boundary[idx] = on_edge
         return inside, boundary
@@ -128,27 +191,80 @@ def bbox_intersects(a: tuple, b: tuple) -> bool:
     return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
 
 
+def _cross_matrix_any(ax1, ay1, ax2, ay2, bx1, by1, bx2, by2) -> bool:
+    """Any proper crossing between the two edge sets (full matrix)."""
+    a1x, a1y = ax1[None, :], ay1[None, :]
+    a2x, a2y = ax2[None, :], ay2[None, :]
+    b1x, b1y = bx1[:, None], by1[:, None]
+    b2x, b2y = bx2[:, None], by2[:, None]
+    d1 = (a2x - a1x) * (b1y - a1y) - (a2y - a1y) * (b1x - a1x)
+    d2 = (a2x - a1x) * (b2y - a1y) - (a2y - a1y) * (b2x - a1x)
+    d3 = (b2x - b1x) * (a1y - b1y) - (b2y - b1y) * (a1x - b1x)
+    d4 = (b2x - b1x) * (a2y - b1y) - (b2y - b1y) * (a2x - b1x)
+    proper = (np.sign(d1) * np.sign(d2) < 0) & (np.sign(d3) * np.sign(d4) < 0)
+    return bool(proper.any())
+
+
+def _stripe_assign(y_lo, y_hi, ymin, height, n_bins):
+    blo = np.clip(((y_lo - ymin) / height * n_bins).astype(np.int64), 0, n_bins - 1)
+    bhi = np.clip(((y_hi - ymin) / height * n_bins).astype(np.int64), 0, n_bins - 1)
+    return blo, bhi
+
+
 def _proper_crossings(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:
     """True iff any edge of B *properly* crosses an edge of A (interiors
     intersect transversally). Shared endpoints / collinear overlap do NOT
-    count — `covers` is boundary-inclusive."""
-    ax1, ay1, ax2, ay2 = prep_a.x1, prep_a.y1, prep_a.x2, prep_a.y2
-    for s in range(0, prep_b.x1.size, _EDGE_CHUNK):
-        bx1 = prep_b.x1[s : s + _EDGE_CHUNK][:, None]
-        by1 = prep_b.y1[s : s + _EDGE_CHUNK][:, None]
-        bx2 = prep_b.x2[s : s + _EDGE_CHUNK][:, None]
-        by2 = prep_b.y2[s : s + _EDGE_CHUNK][:, None]
-        # orientation of (a1,a2,b1) and (a1,a2,b2)
-        d1 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
-        d2 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
-        # orientation of (b1,b2,a1) and (b1,b2,a2)
-        d3 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
-        d4 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
-        proper = (
-            (np.sign(d1) * np.sign(d2) < 0)
-            & (np.sign(d3) * np.sign(d4) < 0)
+    count — `covers` is boundary-inclusive.
+
+    A edges prefiltered to B's bbox; when both sides stay large (long shared
+    borders between a country and a commune), the sets are y-stripe-bucketed
+    and only co-stripe edge pairs are tested (the full cross matrix on two
+    10^4-edge sets cost seconds per pair)."""
+    bb = prep_b.bbox
+    eminx = np.minimum(prep_a.x1, prep_a.x2)
+    emaxx = np.maximum(prep_a.x1, prep_a.x2)
+    eminy = np.minimum(prep_a.y1, prep_a.y2)
+    emaxy = np.maximum(prep_a.y1, prep_a.y2)
+    esel = (eminx <= bb[2]) & (emaxx >= bb[0]) & (eminy <= bb[3]) & (emaxy >= bb[1])
+    ax1, ay1 = prep_a.x1[esel], prep_a.y1[esel]
+    ax2, ay2 = prep_a.x2[esel], prep_a.y2[esel]
+    na, nb = ax1.size, prep_b.x1.size
+    if na == 0 or nb == 0:
+        return False
+    if na * nb <= 1024 * 1024:
+        return _cross_matrix_any(
+            ax1, ay1, ax2, ay2, prep_b.x1, prep_b.y1, prep_b.x2, prep_b.y2
         )
-        if proper.any():
+    # stripe-bucketed: only co-stripe pairs can cross
+    ymin = min(float(np.minimum(ay1, ay2).min()), bb[1])
+    ymax = max(float(np.maximum(ay1, ay2).max()), bb[3])
+    height = max(ymax - ymin, 1e-300)
+    n_bins = int(min(1024, max(8, (na + nb) // 32)))
+    alo, ahi = _stripe_assign(np.minimum(ay1, ay2), np.maximum(ay1, ay2), ymin, height, n_bins)
+    blo_, bhi_ = _stripe_assign(
+        np.minimum(prep_b.y1, prep_b.y2),
+        np.maximum(prep_b.y1, prep_b.y2),
+        ymin,
+        height,
+        n_bins,
+    )
+    a_bins: list[list[int]] = [[] for _ in range(n_bins)]
+    for i in range(na):
+        for b in range(alo[i], ahi[i] + 1):
+            a_bins[b].append(i)
+    b_bins: list[list[int]] = [[] for _ in range(n_bins)]
+    for i in range(nb):
+        for b in range(blo_[i], bhi_[i] + 1):
+            b_bins[b].append(i)
+    for b in range(n_bins):
+        if not a_bins[b] or not b_bins[b]:
+            continue
+        ai = np.asarray(a_bins[b])
+        bi = np.asarray(b_bins[b])
+        if _cross_matrix_any(
+            ax1[ai], ay1[ai], ax2[ai], ay2[ai],
+            prep_b.x1[bi], prep_b.y1[bi], prep_b.x2[bi], prep_b.y2[bi],
+        ):
             return True
     return False
 
@@ -162,11 +278,20 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
     per-pair version's overhead density collapsed under many workers)."""
     n = len(preps_b)
     out = np.zeros(n, dtype=bool)
-    cand = [
-        i
-        for i in range(n)
-        if preps_b[i] is not None and bbox_contains(prep_a.bbox, preps_b[i].bbox)
-    ]
+    cand = []
+    for i in range(n):
+        if preps_b[i] is None or not bbox_contains(prep_a.bbox, preps_b[i].bbox):
+            continue
+        if preps_b[i].x1.size > 1024:
+            # big child (real OSM boundaries reach 10^4+ edges): the scalar
+            # path has stripe-indexed PIP + bucketed crossings; the batched
+            # matrices below would be edge_count-wide
+            try:
+                out[i] = covers(prep_a, preps_b[i])
+            except Exception:
+                out[i] = False
+            continue
+        cand.append(i)
     if not cand:
         return out
 
@@ -187,8 +312,17 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
     by2 = np.concatenate([preps_b[i].y2 for i in cand])
 
     # ---- test 2: no vertex of A strictly inside B (hole-in-B catch)
-    ax = prep_a.vx
-    ay = prep_a.vy
+    # only A vertices inside the B set's overall bbox can be strictly inside
+    bminx, bmaxx = bx1.min(), bx1.max()
+    bminy, bmaxy = by1.min(), by1.max()
+    vsel = (
+        (prep_a.vx >= min(bminx, bx2.min()))
+        & (prep_a.vx <= max(bmaxx, bx2.max()))
+        & (prep_a.vy >= min(bminy, by2.min()))
+        & (prep_a.vy <= max(bmaxy, by2.max()))
+    )
+    ax = prep_a.vx[vsel]
+    ay = prep_a.vy[vsel]
     strict_in = np.zeros(len(cand), dtype=bool)
     for s in range(0, ax.size, _EDGE_CHUNK):
         qx = ax[s : s + _EDGE_CHUNK][None, :]
@@ -216,8 +350,19 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
     ok2 = ~strict_in
 
     # ---- test 3: no proper edge crossing between A's and B's boundaries
-    a_x1, a_y1 = prep_a.x1, prep_a.y1
-    a_x2, a_y2 = prep_a.x2, prep_a.y2
+    # only A edges whose bbox meets the B set's bbox can cross a B edge
+    eminx = np.minimum(prep_a.x1, prep_a.x2)
+    emaxx = np.maximum(prep_a.x1, prep_a.x2)
+    eminy = np.minimum(prep_a.y1, prep_a.y2)
+    emaxy = np.maximum(prep_a.y1, prep_a.y2)
+    esel = (
+        (eminx <= max(bmaxx, bx2.max()))
+        & (emaxx >= min(bminx, bx2.min()))
+        & (eminy <= max(bmaxy, by2.max()))
+        & (emaxy >= min(bminy, by2.min()))
+    )
+    a_x1, a_y1 = prep_a.x1[esel], prep_a.y1[esel]
+    a_x2, a_y2 = prep_a.x2[esel], prep_a.y2[esel]
     prop_edge = np.zeros(bx1.size, dtype=bool)
     for s in range(0, a_x1.size, _EDGE_CHUNK):
         ax1c = a_x1[s : s + _EDGE_CHUNK][None, :]

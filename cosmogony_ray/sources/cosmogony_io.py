@@ -228,5 +228,9 @@ def merge_cosmogonies(inputs: list[str], output: str) -> int:
                     max_id = max(max_id, d["id"])
                     out.write(json.dumps(d, ensure_ascii=False) + "\n")
                     total += 1
-            offset = max_id + 1
+            # keep the RUNNING offset: an empty (or all-blank) input in the
+            # middle of the list must not reset it to 0 and collide later
+            # files' ids with earlier output (round-1 ADVICE; the reference
+            # has the same quirk, merger.rs:35-55)
+            offset = max(offset, max_id + 1)
     return total
