@@ -151,12 +151,27 @@ def _cents(x):
     return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
 
 
+def _read_sf(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Parallel-friendly read: the driver testdata parquet files have ONE
+    row group, so a bare read_parquet is a single task and every fused map
+    after it runs serially. Split into ~16k-row blocks and materialize so
+    downstream stages parallelize."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    rows = pq.ParquetFile(path).metadata.num_rows
+    blocks = max(1, min(64, rows // 16384))
+    ds = rd.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
+    return ds.materialize() if blocks > 1 else ds
+
+
 def _q_q1_pricing(sf_dir: str):
     from cosmogony_ray.functions.relops import partial_groupby_sum
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    ds = _read_sf(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -187,18 +202,13 @@ def _q_q3_top_orders(sf_dir: str):
     from cosmogony_ray.functions.joins import hash_join
     from cosmogony_ray.functions.relops import partial_groupby_sum, top_k
 
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
-    ).map_batches(
+    cust = _read_sf(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(["c_custkey"]),
         batch_format="pyarrow",
     )
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
-    )
-    li = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    orders = _read_sf(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _read_sf(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
     ).map_batches(
         lambda t: pa.table(
             {
@@ -239,9 +249,7 @@ def _q_q3_top_orders(sf_dir: str):
 def _q_events_by_type(sf_dir: str):
     from cosmogony_ray.functions.relops import partial_groupby_sum
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
-    ).map_batches(
+    ds = _read_sf(sf_dir, "events", ["event_type", "value"]).map_batches(
         lambda t: pa.table(
             {"event_type": t["event_type"], "value_cents": _cents(t["value"].to_numpy(zero_copy_only=False))}
         ),
@@ -256,9 +264,7 @@ def _q_top_customers(sf_dir: str):
     from cosmogony_ray.functions.joins import hash_join
     from cosmogony_ray.functions.relops import partial_groupby_sum, top_k
 
-    orders = rd.read_parquet(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
-    ).map_batches(
+    orders = _read_sf(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda t: pa.table(
             {
                 "c_custkey": t["o_custkey"],
@@ -268,9 +274,7 @@ def _q_top_customers(sf_dir: str):
         batch_format="pyarrow",
     )
     per_cust = partial_groupby_sum(orders, ["c_custkey"], {"sum_total_cents": "total_cents"})
-    cust = rd.read_parquet(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
-    )
+    cust = _read_sf(sf_dir, "customer", ["c_custkey", "c_name"])
     joined = hash_join(
         per_cust,
         cust,
@@ -285,7 +289,7 @@ def _q_top_customers(sf_dir: str):
 
 
 def _docs_ds(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    return _read_sf(sf_dir, "documents", ["doc_id", "text"])
 
 
 def _q_text_stats(sf_dir: str):
@@ -383,9 +387,7 @@ def _q_user_sessions(sf_dir: str):
     Python call per user — the measured 8× collapse at high key counts)."""
     from cosmogony_ray.functions.shuffle import partitioned_map
 
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
+    ds = _read_sf(sf_dir, "events", ["user_id", "ts"])
 
     out_schema = pa.schema(
         [("user_id", pa.int64()), ("n_sessions", pa.int64()), ("n_events", pa.int64())]

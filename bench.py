@@ -59,6 +59,24 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # Ray's streaming executor logs a warning per empty block ("RefBundle
+    # with a different schema ... new schema: .") and per map-typed schema
+    # ("Failed to hash the schemas"); both are internal false alarms for
+    # this engine's schema-stable empty tables and map<string,string>
+    # columns, and they drowned real signal in the bench log.
+    import logging
+
+    class _NoiseFilter(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg
+                or "Failed to hash the schemas" in msg
+            )
+
+    for name in ("ray.data", "ray.data._internal.execution.streaming_executor_state"):
+        logging.getLogger(name).addFilter(_NoiseFilter())
+
     from cosmogony_ray.config import EngineConfig
     from cosmogony_ray.fixtures.bigworld import write_grid_world
     from cosmogony_ray.functions.geocode import doc_points
