@@ -157,11 +157,19 @@ class GeotagActor:
         Returns (doc_index per span, span_index per span, lon, lat)."""
         if isinstance(spans_col, pa.ChunkedArray):
             spans_col = spans_col.combine_chunks()
+        if spans_col.null_count:
+            # flatten() drops values of null slots while the offsets keep
+            # them, silently misaligning span→point mapping; the output
+            # ListArray rebuild would also discard the validity bitmap
+            # (round-1 ADVICE). Null spans rows are an ingest error.
+            raise ValueError(
+                "geotag input has null `spans` rows; fill with [] at ingest"
+            )
         offsets = spans_col.offsets.to_numpy(zero_copy_only=False)
         counts = np.diff(offsets)
         doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
         span_idx = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], counts)
-        flat = spans_col.flatten()
+        flat = spans_col.values
         text = pc.struct_field(flat, "text")
         media = pc.struct_field(flat, "media_ref")
         t = pc.extract_regex(pc.fill_null(text, ""), _TEXT_RE)
