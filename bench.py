@@ -101,10 +101,12 @@ def run_bench() -> dict:
     times: dict[str, float] = {}
     meta: dict[str, float] = {}
 
+    from cosmogony_ray.functions.arrowtools import materialized_count
+
     t0 = time.time()
     cosmo = build_cosmogony(world_dir, cfg, with_stats=False)
-    n_zones = cosmo.zones.count()
-    n_edges = cosmo.edges.count()
+    n_zones = materialized_count(cosmo.zones)
+    n_edges = materialized_count(cosmo.edges)
     times["cosmogony_build"] = time.time() - t0
     meta["zones"] = n_zones
     meta["inclusion_edges"] = n_edges
@@ -165,8 +167,15 @@ def run_bench() -> dict:
 
     idx_ref = build_zone_index(cosmo.zones, cfg)
     # warm the FULL actor pool untimed: enough leading blocks to give every
-    # actor at least one task (blocks = NUM_CPUS*4, pool = NUM_CPUS-2)
-    n_docs = docs.count()
+    # actor at least one task (blocks = NUM_CPUS*4, pool = NUM_CPUS-2).
+    # n_docs is arithmetic (synthesis is deterministic): count() spins an
+    # executor that intermittently stalls on this host.
+    import pyarrow.parquet as _pq
+
+    base_rows = _pq.ParquetFile(
+        os.path.join(SF_DIR, "documents.parquet")
+    ).metadata.num_rows
+    n_docs = base_rows * DOC_REPLICATION
     warm_rows = int(n_docs * (pool + 2) * 1.5 / (NUM_CPUS * 4))
     geotag_docs(docs.limit(max(warm_rows, 10_000)), idx_ref, cfg).count()
     t0 = time.time()

@@ -36,6 +36,15 @@ def tags_get(tags: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
     return pc.if_else(pa.array(mask), taken, pa.scalar(None, type=pa.string()))
 
 
+def materialized_count(ds) -> int:
+    """Row count of a MATERIALIZED dataset without launching a streaming
+    executor — ``Dataset.count()`` spins one up (AggregateNumRows) and that
+    executor intermittently stalled on this host."""
+    import ray
+
+    return sum(t.num_rows for t in ray.get(ds.to_arrow_refs()))
+
+
 def materialized_table(ds, schema: pa.Schema | None = None) -> pa.Table:
     """Whole MATERIALIZED dataset as one Arrow table, fetched straight from
     the object store (``to_arrow_refs`` + ``ray.get``) — no streaming

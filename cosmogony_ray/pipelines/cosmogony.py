@@ -127,7 +127,9 @@ def _build_inner(
     typer = ZoneTyper.from_dir(cfg.rules_dir)
     finder = CountryFinder.from_zone_rows(state.country_rows, typer)
 
-    n_edges = edges.count()
+    from ..functions.arrowtools import materialized_count
+
+    n_edges = materialized_count(edges)
     if n_edges <= cfg.driver_hierarchy_max_edges:
         # zone-scale fast path: ancestor lists and parent selection computed
         # once on the driver from the small edge table and broadcast —
