@@ -104,13 +104,22 @@ def _blobs(path: str):
                     datasize = v
             blob = f.read(datasize)
             raw = None
+            other = None
             for field, wire, v in _fields(blob):
                 if field == 1 and wire == 2:  # raw
                     raw = v
                 elif field == 3 and wire == 2:  # zlib_data
                     raw = zlib.decompress(v)
+                elif field in (4, 5, 6, 7) and wire == 2:  # lzma/bzip2/lz4/zstd
+                    other = field
             if raw is not None:
                 yield btype, raw
+            elif other is not None:
+                names = {4: "lzma", 5: "bzip2", 6: "lz4", 7: "zstd"}
+                raise ValueError(
+                    f"unsupported blob compression: {names[other]} "
+                    "(only raw and zlib blobs are supported)"
+                )
 
 
 # ------------------------------------------------------ PrimitiveBlock layer
@@ -167,7 +176,8 @@ def _decode_node(buf: bytes, strings, gran, lat_off, lon_off, out: _Tables):
     keys = vals = ()
     for field, wire, v in _fields(buf):
         if field == 1:
-            nid = v if wire == 0 else None
+            # Node.id is sint64 in the PBF spec — zigzag like lat/lon below
+            nid = _zigzag(v) if wire == 0 else None
         elif field == 2:
             keys = _packed_varints(v)
         elif field == 3:

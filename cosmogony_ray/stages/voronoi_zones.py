@@ -107,7 +107,7 @@ def read_places(nodes: rd.Dataset) -> rd.Dataset:
 class ZoneState:
     """Broadcast zone-side state for parent lookup + subtraction."""
 
-    def __init__(self, zones: rd.Dataset):
+    def __init__(self, zones: rd.Dataset, cfg: "EngineConfig | None" = None):
         self.uid: list[str] = []
         self.name: list[str] = []
         self.ztype: list[str | None] = []
@@ -139,7 +139,7 @@ class ZoneState:
         # subtraction prefilter probe cells instead of scanning every zone
         from ..config import EngineConfig
 
-        self.cells = EngineConfig().cells()
+        self.cells = (cfg or EngineConfig()).cells()
         self.cell_map: dict[int, list[int]] = {}
         for i, bb in enumerate(self.bbox):
             if bb is None or self.wkb[i] is None:
@@ -338,7 +338,7 @@ def compute_additional_zones(
     zones: rd.Dataset, nodes: rd.Dataset, cfg: EngineConfig
 ) -> rd.Dataset:
     """→ Dataset of generated zones (may be empty); callers union with zones."""
-    state = ZoneState(zones)
+    state = ZoneState(zones, cfg)
     state_ref = ray.put(state)
     places = read_places(nodes)
 

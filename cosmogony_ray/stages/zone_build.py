@@ -391,12 +391,21 @@ def _way_geo_fn(nodes_ref):
         raw = lookup_int_indices(
             nodes_ref, "osm_id", flat.to_numpy(zero_copy_only=False)
         )
-        idx = pa.array(np.where(raw >= 0, raw, None), type=pa.int64())
+        # Dangling node refs (clipped extracts) are DROPPED from the way's
+        # coordinate list — inner-join semantics matching the distributed
+        # assembly path and the reference (osmpbfreader get_objs_and_deps
+        # simply lacks the node); a null element here would poison
+        # np.column_stack downstream with object dtype.
+        valid = raw >= 0
+        offs_np = nid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not valid.all():
+            cum = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
+            offs_np = cum[offs_np]
+            raw = raw[valid]
+        idx = pa.array(raw, type=pa.int64())
         lon = pc.take(nd["lon"], idx)
         lat = pc.take(nd["lat"], idx)
-        offs = pa.array(
-            nid.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        )
+        offs = pa.array(offs_np)
         xs = pa.LargeListArray.from_arrays(offs, lon).cast(pa.list_(pa.float64()))
         ys = pa.LargeListArray.from_arrays(offs, lat).cast(pa.list_(pa.float64()))
         return pa.table({"osm_id": batch["osm_id"], "xs": xs, "ys": ys})
