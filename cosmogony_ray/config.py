@@ -17,6 +17,17 @@ class EngineConfig:
     disable_voronoi: bool = True             # --disable-voronoi (off by default in round 1)
     filter_langs: tuple[str, ...] = ()       # --filter-langs
     rules_dir: str | None = None             # libpostal-style YAML dir (rules-as-data)
+    # Whether place=suburb NODES become boundary-less base zones. The
+    # reference SOURCE constructs them (src/lib.rs:85-91), but its own e2e
+    # pins prove the RUNNING reference does not: tests/cosmogony_test.rs:329
+    # asserts get_zones_and_stats == 118 on ivory-coast.pbf, which equals the
+    # boundary-yielding RELATION count exactly (the fixture also carries 21
+    # place=suburb nodes with names — they'd make 139); the Luxembourg
+    # library test likewise pins 198 == relations-only with Suburb=55
+    # (tests/cosmogony_test.rs:173,210-215). False = reference-parity
+    # (relations only); True keeps the node zones (the synthetic-world
+    # pipelines and their SQL oracles are defined over this mode).
+    place_node_zones: bool = True
 
     # engine-specific scale knobs
     min_res: int = 2

@@ -144,7 +144,15 @@ def _build_inner(
 
         from ..functions.arrowtools import materialized_table
 
-        edges_tbl = materialized_table(edges).select(["child", "parent", "parent_area"])
+        # explicit schema: a world with zero inclusion edges (e.g. the tiny
+        # Gatineau fixture) materializes to an empty dataset whose schema()
+        # is None, and the ancestor/parent tables must still be well-typed
+        edges_schema = pa.schema(
+            [("child", pa.string()), ("parent", pa.string()), ("parent_area", pa.float64())]
+        )
+        edges_tbl = materialized_table(edges, schema=edges_schema).select(
+            ["child", "parent", "parent_area"]
+        )
         anc_ref = ray.put(ancestors_from_edges_df(edges_tbl))
         _tick("edges_collect")
         zones_anc = attach_ancestors_broadcast(zones, anc_ref)

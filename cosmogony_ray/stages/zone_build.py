@@ -565,6 +565,8 @@ def assemble_zones_broadcast(
     rel_zones = relations.map_batches(
         _zones_from_relations_fn(ways_ref, nodes_ref), batch_format="pyarrow"
     )
+    if not cfg.place_node_zones:
+        return rel_zones
     node_zones = nodes.map_batches(_node_zones, batch_format="pyarrow")
     return rel_zones.union(node_zones)
 
@@ -724,5 +726,7 @@ def assemble_zones_distributed(
         num_partitions=cfg.join_num_partitions,
         empty_schema=ZONE_SCHEMA,
     )
+    if not cfg.place_node_zones:
+        return rel_zones
     node_zones = nodes.map_batches(_node_zones, batch_format="pyarrow")
     return rel_zones.union(node_zones)
