@@ -15,17 +15,32 @@ pins win, so parity mode drops them.
 
 Voronoi-ON totals are SELF-PINNED, not reference pins: the reference pins
 208 (lux) and 4471 (ivory-coast, cosmogony_test.rs:313-333), but neither
-is derivable from the checked-out source. Arithmetic proof on ivory-coast:
-``compute_additional_places`` candidates are
-``(admin_level none ∧ Suburb) ∨ capital=yes`` nodes
-(additional_zones.rs:47-51); the fixture holds 22 named suburb-like nodes +
-1 capital=yes ⇒ ≤23 generated zones, yet 4471-118 = 4353 — only possible if
-an EARLIER version also accepted the 4445 named city/town/village nodes.
-On lux the as-written semantics yield exactly 18 candidates (17 quarters +
-the capital node), all parented to Luxembourg City ⇒ 198+18 = 216, not 208;
-no filter variant we could derive (strict type ordering, name dedup against
-the 24 CityDistrict relations — 15/17 match) produces 208. This engine
-implements the as-written semantics and pins its own deterministic counts.
+is derivable from the checked-out source. Data-driven proof (round 3, see
+scripts/voronoi_variant_search.py for the reproducible search):
+
+1. ivory-coast as-written candidates are
+   ``(admin_level none ∧ Suburb) ∨ capital=yes`` nodes
+   (additional_zones.rs:47-51). Measured from the fixture itself: ALL 21
+   named place=suburb nodes carry ``admin_level=9`` and the single
+   capital=yes node (Yamoussoukro) carries ``admin_level=2`` — exactly ONE
+   node passes, independent of any geometry library. Voronoi generation
+   can add at most one zone per surviving candidate, so the checked-out
+   source caps ivory-coast at ≤119 zones; 4471 is unreachable.
+2. A 40-variant search over the plausible historical semantics (candidate
+   set ∈ {as-written, admin_level-none, all place nodes, city-parse only}
+   × parent-admissibility {≥City, >City} × type ordering {>=, >} ×
+   already-covered-by-a-City exclusion on/off, evaluated with this
+   engine's exact covers kernel on BOTH fixtures) finds NO variant that
+   reproduces both pins: lux lands on {0, 17, 18, 464–481} generated
+   (208−195=13 needed) while ivory-coast lands on {1, 4340–4395}
+   (4471−118=4353 needed). The two pins are mutually inconsistent under
+   every candidate semantics; they are stale goldens from an earlier
+   algorithm + fixture state (the repo's own e2e suite cannot pass them
+   with the checked-out additional_zones.rs).
+
+This engine therefore implements the as-written semantics and pins its own
+deterministic counts (lux 216 = 198 + 17 quarters + capital; ivory-coast
+119 = 118 + Yamoussoukro).
 """
 
 import collections
