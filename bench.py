@@ -60,10 +60,13 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     # Ray's streaming executor logs a warning per empty block ("RefBundle
-    # with a different schema ... new schema: .") and per map-typed schema
-    # ("Failed to hash the schemas"); both are internal false alarms for
-    # this engine's schema-stable empty tables and map<string,string>
-    # columns, and they drowned real signal in the bench log.
+    # with a different schema ... new schema: .") and one per unhashable
+    # input schema ("Failed to hash the schemas"). Both are Ray-internal
+    # false alarms: the latter fires on a BARE read_parquet of the
+    # driver-generated testdata because those files carry b'pandas' schema
+    # metadata, which makes pa.Schema.__hash__ raise inside Ray's
+    # unify_schemas fast path — proven by scripts/schema_hash_warning_repro.py
+    # with zero engine code involved. Filtered for log hygiene only.
     import logging
 
     class _NoiseFilter(logging.Filter):

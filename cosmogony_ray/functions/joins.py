@@ -31,7 +31,7 @@ def hash_join(
     how: str = "inner",
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Join two Datasets on ``key`` (same name both sides), preserving nested
     column types. ``how``: "inner" or "left" (left outer).
@@ -42,6 +42,9 @@ def hash_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    from .shuffle import default_num_partitions
+
+    num_partitions = num_partitions or default_num_partitions()
     lschema = left_schema or left.schema()
     rschema = right_schema or right.schema()
     lcols = list(lschema.names)

@@ -39,10 +39,11 @@ def partial_groupby_sum(
     # rows / 147k groups — per-group overhead in its sort-based aggregate —
     # so the explicit hash-partition + in-partition vectorized combine is
     # the scalable shape here too.)
-    from .shuffle import PART_COL, add_partition_column
+    from .shuffle import PART_COL, add_partition_column, default_num_partitions
 
+    nparts = default_num_partitions()
     parted = partials.map_batches(
-        lambda t: add_partition_column(t, keys, 32), batch_format="pyarrow"
+        lambda t: add_partition_column(t, keys, nparts), batch_format="pyarrow"
     )
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:

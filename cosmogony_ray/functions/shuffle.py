@@ -25,6 +25,29 @@ import ray.data as rd
 PART_COL = "__part__"
 
 
+def default_num_partitions(min_partitions: int = 32) -> int:
+    """Cluster-scaled shuffle fan-out: 2 buckets per cluster CPU (so a
+    straggling bucket can rebalance), floored at ``min_partitions``.
+    Round-3 fix for the hard-coded 32 in the relational/dedup paths — on a
+    256-node cluster the old constant made every bucket hold 1/32nd of the
+    input regardless of cluster size. Override with the
+    ``COSMOGONY_SHUFFLE_PARTITIONS`` env var; callers that know their key
+    cardinality or input size should pass an explicit count instead.
+    Partition count affects block layout only, never results."""
+    import os
+
+    env = os.environ.get("COSMOGONY_SHUFFLE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(min_partitions, 2 * cpus)
+
+
 def add_partition_column(
     t: pa.Table, keys: list[str], num_partitions: int
 ) -> pa.Table:
@@ -57,12 +80,12 @@ def grouped_map(
     keys: list[str],
     fn: Callable[[tuple, pa.Table], pa.Table | None],
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     empty_schema: pa.Schema,
 ) -> rd.Dataset:
     """Apply ``fn(key_tuple, group_table) -> Table|None`` to every key group,
     with ONE Ray task per hash partition (not per key)."""
-
+    num_partitions = num_partitions or default_num_partitions()
     parted = ds.map_batches(
         lambda t: add_partition_column(t, keys, num_partitions),
         batch_format="pyarrow",
@@ -91,7 +114,7 @@ def partitioned_map(
     keys: list[str],
     fn: Callable[[pa.Table], pa.Table | None],
     *,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     empty_schema: pa.Schema,
     num_cpus: float | None = None,
 ) -> rd.Dataset:
@@ -100,7 +123,7 @@ def partitioned_map(
     ``grouped_map`` whenever the per-key work can be expressed vectorized
     over the whole partition — per-key Python calls at 10^5+ keys are the
     collapse this module's docstring describes."""
-
+    num_partitions = num_partitions or default_num_partitions()
     parted = ds.map_batches(
         lambda t: add_partition_column(t, keys, num_partitions),
         batch_format="pyarrow",
@@ -120,11 +143,11 @@ def partitioned_map(
 
 
 def distinct_rows(
-    ds: rd.Dataset, keys: list[str], *, num_partitions: int = 32
+    ds: rd.Dataset, keys: list[str], *, num_partitions: int | None = None
 ) -> rd.Dataset:
     """Exact distinct on key columns — partition-wise vectorized
     drop-duplicates (first occurrence after in-partition key sort)."""
-
+    num_partitions = num_partitions or default_num_partitions()
     parted = ds.map_batches(
         lambda t: add_partition_column(t, keys, num_partitions),
         batch_format="pyarrow",

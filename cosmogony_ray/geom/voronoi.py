@@ -140,7 +140,19 @@ def subtract(subject: MultiPolygon, subtrahends: list[MultiPolygon]) -> MultiPol
     (round-1 ADVICE). Fully-inside subtrahends skip the clip (covers fast
     path); disjoint ones contribute nothing. The emptiness check uses the
     even-odd area of the ACTUAL output ring set, so it is consistent with
-    the emitted geometry even when subtrahends overlap each other."""
+    the emitted geometry even when subtrahends overlap each other.
+
+    Known approximation (round-2 ADVICE, accepted): when two subtrahends
+    MUTUALLY overlap, their clipped rings can properly cross each other,
+    and ``even_odd_area``'s containment-parity area is then inexact for
+    the crossing region (their overlap flips back to "kept" under even-odd
+    instead of staying removed). This only affects the near-empty-
+    difference decision — point location on the emitted ring soup remains
+    exact because even-odd PIP is well-defined for crossing rings — and in
+    the reference's own pipeline subtrahends are sibling admin zones,
+    which tile rather than overlap (additional_zones.rs:238-252). A true
+    pre-merge needs a polygon UNION operator, out of scope for this
+    kernel."""
     from .boolean import even_odd_area, intersection_even_odd
     from .predicates import PreparedPolygon, bbox_contains, covers
 

@@ -71,3 +71,48 @@ def test_embedding_dup_lsh_recall(ray_session):
     assert not (got_pairs - want_pairs), "LSH path must not invent pairs"
     recall = len(got_pairs & want_pairs) / len(want_pairs)
     assert recall >= 0.9, f"pair recall = {recall:.2f} < 0.9"
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF001, "documents.parquet")),
+    reason="sf0.001 testdata not present",
+)
+def test_minhash_lsh_recall_and_determinism(ray_session):
+    """Gate for the round-3 vectorized minhash family (odd-multiplier u64
+    bijections + polynomial shingle hashing): the verified LSH pair set
+    must reach recall >= 0.9 against the brute-force exact-Jaccard >= 0.5
+    pair set, precision 1.0 (the verify stage recomputes true Jaccard),
+    and be identical across two runs (determinism)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from cosmogony_ray.functions.dedup import _token_arrays, minhash_lsh_pairs
+
+    t = pq.read_table(os.path.join(SF001, "documents.parquet"), columns=["doc_id", "text"])
+
+    def run():
+        df = minhash_lsh_pairs(rd.from_arrow(t)).to_pandas()
+        return set(zip(df["doc_a"], df["doc_b"]))
+
+    got = run()
+    sh = _token_arrays(t["text"])
+    ids = t["doc_id"].to_numpy()
+    want = set()
+    for i in range(len(sh)):
+        for j in range(i + 1, len(sh)):
+            a, b = sh[i], sh[j]
+            if a.size == 0 or b.size == 0:
+                continue
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            if 100 * inter >= 50 * (a.size + b.size - inter):
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert want, "fixture should contain near-duplicates"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"minhash pair recall {recall:.2f} < 0.9"
+    assert got <= want, "verify stage must keep only true-Jaccard pairs"
+    assert run() == got, "pair set must be deterministic across runs"
