@@ -33,10 +33,9 @@ class EngineConfig:
     min_res: int = 2
     max_res: int = 12
     max_cells_per_zone: int = 64             # mega-zone coarsening cap (SURVEY §7.4)
-    # salting policy is by cell resolution: every cell at res ≤ min_res+1 is
-    # salted across num_salts sub-keys (coarse cells are the mega-zone hot
-    # keys by construction — a row-count threshold knob would need a second
-    # counting pass for no extra selectivity)
+    # RETIRED (round 3): the inclusion join is now a shuffle-free map-side
+    # broadcast cell join (stages/inclusion.py), so coarse-cell salting has
+    # no groupby hot key left to mitigate; kept for config compatibility
     num_salts: int = 8
     join_num_partitions: int = 32            # shuffle partitions for joins/grouped maps
     # shuffle-output block-size target while building zones: the default

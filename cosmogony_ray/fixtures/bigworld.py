@@ -27,6 +27,7 @@ _LEVELS = [
     (9, "city_district"),
     (10, "suburb"),
     (11, "suburb"),        # second suburb tier → depth 9 (87,381 zones)
+    (12, "suburb"),        # third suburb tier → depth 10 (349,525 zones)
 ]
 
 

@@ -63,6 +63,28 @@ class PreparedPolygon:
         self.mpoly = mpoly
         self._stripes = None  # lazy y-stripe edge index (big polygons)
 
+    @classmethod
+    def from_edges(cls, x1, y1, x2, y2) -> "PreparedPolygon":
+        """Construct directly from flat edge arrays (a GeomPack slice) —
+        no WKB parse, no Python ring loop. ``x1/y1`` double as the ring
+        start vertices (same invariant as ``__init__``); ``mpoly`` is not
+        materialized (nothing reads it after construction)."""
+        if x1.size == 0:
+            raise ValueError("empty multipolygon")
+        self = cls.__new__(cls)
+        self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+        self.vx = x1
+        self.vy = y1
+        self.bbox = (
+            float(min(x1.min(), x2.min())),
+            float(min(y1.min(), y2.min())),
+            float(max(x1.max(), x2.max())),
+            float(max(y1.max(), y2.max())),
+        )
+        self.mpoly = None
+        self._stripes = None
+        return self
+
     # real admin boundaries carry 10^4-10^5 edges; a flat O(edges) scan per
     # point made one covers() call on a country polygon cost seconds. The
     # stripe index buckets edges by the y-stripes they span, so a point only
@@ -295,21 +317,35 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
     if not cand:
         return out
 
-    # ---- test 1: every vertex of B inside-or-on A (one covers_points call)
-    vxs = [preps_b[i].vx for i in cand]
-    counts = np.fromiter((v.size for v in vxs), dtype=np.int64, count=len(cand))
+    counts = np.fromiter(
+        (preps_b[i].vx.size for i in cand), dtype=np.int64, count=len(cand)
+    )
     segs = np.concatenate([[0], np.cumsum(counts)])
-    vx = np.concatenate(vxs)
-    vy = np.concatenate([preps_b[i].vy for i in cand])
-    cov = prep_a.covers_points(vx, vy).astype(np.int8)
-    ok1 = np.minimum.reduceat(cov, segs[:-1]) == 1
-
-    # concatenated edge arrays of surviving B's (edge count == vertex count
-    # for closed rings, so the same segment bounds apply)
     bx1 = np.concatenate([preps_b[i].x1 for i in cand])
     by1 = np.concatenate([preps_b[i].y1 for i in cand])
     bx2 = np.concatenate([preps_b[i].x2 for i in cand])
     by2 = np.concatenate([preps_b[i].y2 for i in cand])
+    out[np.asarray(cand)] = covers_concat(prep_a, bx1, by1, bx2, by2, segs)
+    return out
+
+
+def covers_concat(
+    prep_a: PreparedPolygon,
+    bx1: np.ndarray,
+    by1: np.ndarray,
+    bx2: np.ndarray,
+    by2: np.ndarray,
+    segs: np.ndarray,
+) -> np.ndarray:
+    """``covers(prep_a, B_k)`` for B polygons given as CONCATENATED edge
+    arrays with segment bounds ``segs`` (len = n_polys + 1). ``bx1/by1``
+    double as each B's ring-start vertices (closed-ring invariant: edge
+    count == vertex count, same bounds apply). This is the kernel both
+    ``covers_many`` (list-of-prepared API) and the GeomPack covers stage
+    (zero-copy slices of the broadcast edge pack) share."""
+    # ---- test 1: every vertex of B inside-or-on A (one covers_points call)
+    cov = prep_a.covers_points(bx1, by1).astype(np.int8)
+    ok1 = np.minimum.reduceat(cov, segs[:-1]) == 1
 
     # ---- test 2: no vertex of A strictly inside B (hole-in-B catch)
     # only A vertices inside the B set's overall bbox can be strictly inside
@@ -323,7 +359,7 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
     )
     ax = prep_a.vx[vsel]
     ay = prep_a.vy[vsel]
-    strict_in = np.zeros(len(cand), dtype=bool)
+    strict_in = np.zeros(len(segs) - 1, dtype=bool)
     for s in range(0, ax.size, _EDGE_CHUNK):
         qx = ax[s : s + _EDGE_CHUNK][None, :]
         qy = ay[s : s + _EDGE_CHUNK][None, :]
@@ -381,8 +417,7 @@ def covers_many(prep_a: PreparedPolygon, preps_b: list) -> np.ndarray:
         prop_edge |= proper.any(axis=1)
     ok3 = np.add.reduceat(prop_edge.astype(np.int64), segs[:-1]) == 0
 
-    out[np.asarray(cand)] = ok1 & ok2 & ok3
-    return out
+    return ok1 & ok2 & ok3
 
 
 def covers(prep_a: PreparedPolygon, prep_b: PreparedPolygon) -> bool:

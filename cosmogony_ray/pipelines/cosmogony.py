@@ -119,9 +119,10 @@ def _build_inner(
     _tick("assemble")
 
     state = collect_zone_state(zones)  # ONE driver pass for all broadcast maps
-    geom_ref = ray.put(state.geom_table)
     _tick("zone_state")
-    edges = find_inclusion_edges(zones, cfg, geom_ref).materialize()
+    # geometry broadcast is the edge-array GeomPack, built distributed
+    # inside find_inclusion_edges (parse-once; see build_geom_pack)
+    edges = find_inclusion_edges(zones, cfg).materialize()
     _tick("inclusion")
 
     typer = ZoneTyper.from_dir(cfg.rules_dir)

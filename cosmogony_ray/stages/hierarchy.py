@@ -228,11 +228,16 @@ def attach_parents_broadcast(zones: rd.Dataset, parents_ref) -> rd.Dataset:
     import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.broadcast import get_cached, lookup_str_indices
+    from ..functions.broadcast import get_cached
 
     def fn(t: pa.Table) -> pa.Table:
         tbl = get_cached(parents_ref)
-        idx = lookup_str_indices(parents_ref, "osm_id", t["osm_id"].to_pylist())
+        idx = (
+            pc.index_in(t["osm_id"], value_set=tbl["osm_id"].combine_chunks())
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         vals = pc.take(
             tbl["parent"].combine_chunks(),
             pa.array(np.where(idx >= 0, idx, None), type=pa.int64()),

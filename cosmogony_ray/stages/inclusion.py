@@ -1,40 +1,44 @@
 """Inclusion spatial self-join: which zones cover which.
 
 Ray-Data-native replacement of the reference's in-process R-tree join
-(`find_inclusions`, /root/reference/src/hierarchy_builder.rs:34-95): instead
-of tree probes, a hierarchical-grid **cell join** (north_rule):
+(`find_inclusions`, /root/reference/src/hierarchy_builder.rs:34-95): a
+hierarchical-grid **cell join** (north_rule), executed as a SHUFFLE-FREE
+map-side broadcast join:
 
-1. every boundary zone emits BUILD rows — its bbox covering cells at the
-   finest ladder resolution that stays under ``max_cells_per_zone``
-   (mega-zone coarsening: a country never explodes into millions of rows);
-2. every boundary zone also emits PROBE rows — its covering cells at its own
-   resolution plus their ancestors at every coarser ladder resolution
-   (a parent's bbox ⊇ child's bbox ⇒ parent's chosen resolution is coarser
-   or equal, so probe-side ancestor expansion is sufficient to meet it);
-3. cells at the coarsest resolutions are **salted**: build rows are
-   replicated across ``num_salts`` sub-keys and probe rows pick one by child
-   hash — a country-level cell would otherwise collect every probe in the
-   country into one group (the mega-zone hot key, SURVEY.md §7.4);
-4. ``groupby(cell, salt)`` → per-cell candidate pairs (bbox-containment
-   prefiltered, self excluded), emitted ONLY in the canonical cell — the
-   cell containing the child's bbox min corner at the parent's build
-   resolution. A pair shares that cell exactly once (parent's bbox contains
-   the child's min corner; the child probes every resolution ≤ its own), so
-   pairs are globally unique BY CONSTRUCTION and no dedup shuffle is needed;
+1. every boundary WKB is parsed ONCE (distributed) into the **GeomPack** —
+   flat CSR edge arrays plus a per-zone bbox table — and broadcast via one
+   ``ray.put`` (``build_geom_pack``);
+2. the pack carries a sorted **build-cell index**: each zone's bbox covering
+   cells at the finest ladder resolution that stays under
+   ``max_cells_per_zone`` (mega-zone coarsening: a country never explodes
+   into millions of rows), as two parallel arrays ``(bcell sorted, bzone)``;
+3. candidate generation is a ``map_batches`` over the zone table: each batch
+   emits its zones' PROBE cells at every ladder resolution ≤ their own
+   (a parent's bbox ⊇ child's bbox ⇒ the parent's chosen resolution is
+   coarser or equal, so probing the coarser rungs meets every parent) and
+   binary-searches them against the broadcast build index — **no groupby**
+   (the previous groupby(cell) shuffle of the covering rows cost 24 s of a
+   28 s inclusion phase at the 87k-zone world; the kernel itself was 2 s);
+4. a (child, parent) pair can only match at the parent's build resolution,
+   and is kept ONLY in the canonical cell — the cell containing the child's
+   bbox min corner at that resolution (the parent's covering contains it
+   because parent bbox ⊇ child bbox; the child probes that resolution). A
+   pair is therefore emitted exactly once globally BY CONSTRUCTION — no
+   dedup shuffle;
 5. exact boundary-inclusive ``covers`` test (GEOS semantics,
-   /root/reference/src/zone_ext.rs:236-277) in an actor-pool ``map_batches``
-   stage holding a broadcast ``osm_id → WKB`` map and a per-actor prepared
-   geometry cache.
+   /root/reference/src/zone_ext.rs:236-277) as a second fused
+   ``map_batches`` over zero-copy GeomPack slices.
 
-Scale assumption (documented per SURVEY §7.4): the zones side fits in a
-broadcast object (~10^6 zones); the docs side never flows through here.
-Errors in geometry conversion yield covers=False, matching the reference
-(zone_ext.rs:247-273).
+Scale assumption (documented per SURVEY §7.4): the zones side fits in the
+object store as one broadcast (~10^6 zones; edge arrays ≈ 32 B/edge ≈ 2× the
+WKB payload, build-cell index ≤ 64 cells/zone ≈ 0.8 GB at 10^6 zones); the
+docs side never flows through here. Both stages are plain map transforms, so
+the whole phase streams with backpressure and scales with input blocks — the
+all-to-all exchange the groupby design paid is gone. Errors in geometry
+conversion yield covers=False, matching the reference (zone_ext.rs:247-273).
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -44,327 +48,440 @@ import ray
 import ray.data as rd
 
 from ..config import EngineConfig
-from ..functions.shuffle import grouped_map
-from ..geom.predicates import PreparedPolygon, covers_many
+from ..geom.predicates import PreparedPolygon
 from ..geom.wkb import multipolygon_from_wkb
 
 _CAND_SCHEMA = pa.schema(
     [("child", pa.string()), ("parent", pa.string()), ("parent_area", pa.float64())]
 )
 
+_CAND_IDX_SCHEMA = pa.schema(
+    [
+        ("child", pa.string()),
+        ("parent", pa.string()),
+        ("parent_area", pa.float64()),
+        ("child_idx", pa.int64()),
+        ("parent_idx", pa.int64()),
+    ]
+)
 
-def _covering_rows_fn(cfg: EngineConfig):
-    """Vectorized covering-row emitter: for a batch of zones, emit build
-    rows at each zone's own cover resolution and probe rows at every ladder
-    resolution ≤ it, with coarse-cell salting — all via numpy repeat/arange
-    (the per-zone Python-loop version cost ~1 ms/zone and dominated the
-    inclusion phase)."""
-    cells = cfg.cells()
-    salt_res_max = cfg.min_res + 1
-    n_salts = cfg.num_salts
+_BIG_CHILD_EDGES = 1024  # children above this use the stripe-indexed scalar path
+
+
+def _grid_arrays(cells, minx, miny, maxx, maxy):
+    """Per-zone, per-ladder-resolution covering-grid arrays (vectorized over
+    a zone batch): returns ``(own_li, ix0s, iy0s, nxs, counts)`` where
+    ``own_li`` is the index into ``cells.ladder`` of each zone's own cover
+    resolution — the finest whose bbox covering stays under
+    ``max_cells_per_zone`` (cummax trick: once a resolution exceeds the cap,
+    all finer ones do too on a regular grid)."""
     ladder = cells.ladder
-    cap = cells.max_cells_per_zone
+    nz = len(minx)
+    counts = np.empty((len(ladder), nz), dtype=np.int64)
+    ix0s = np.empty((len(ladder), nz), dtype=np.int64)
+    iy0s = np.empty((len(ladder), nz), dtype=np.int64)
+    nxs = np.empty((len(ladder), nz), dtype=np.int64)
+    for li, r in enumerate(ladder):
+        ix0, iy0 = cells._grid_index(minx, miny, r)
+        ix1, iy1 = cells._grid_index(maxx, maxy, r)
+        ix0s[li], iy0s[li] = ix0, iy0
+        nxs[li] = ix1 - ix0 + 1
+        counts[li] = nxs[li] * (iy1 - iy0 + 1)
+    ok = counts <= cells.max_cells_per_zone
+    own_li = np.maximum(ok.cumprod(axis=0).sum(axis=0) - 1, 0)
+    return own_li, ix0s, iy0s, nxs, counts
+
+
+def _expand_cells(cells, li_sel, r, ix0s, iy0s, nxs, counts):
+    """Expand the bbox coverings of the selected zones at ladder index
+    ``li_sel``'s resolution ``r`` into (cell_id, zone_row) arrays via the
+    segmented repeat/arange trick — no per-zone Python."""
+    cnt = counts[li_sel[0]][li_sel[1]]
+    zrep = np.repeat(li_sel[1], cnt)
+    total = int(cnt.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    nx = nxs[li_sel[0]][zrep]
+    ix = ix0s[li_sel[0]][zrep] + within % nx
+    iy = iy0s[li_sel[0]][zrep] + within // nx
+    return cells._encode(r, ix, iy), zrep
+
+
+def build_geom_pack(zones: rd.Dataset, cfg: EngineConfig | None = None):
+    """Parse every boundary WKB ONCE (distributed) into a columnar edge pack
+    + build-cell index, broadcast as one object-store blob of numpy arrays.
+
+    Round-3 fix for the covers-stage prep storm: the previous design
+    broadcast raw WKB and each worker re-parsed + re-prepared every child
+    geometry it saw — children are duplicated across their parents'
+    partitions (avg edge fan-in ≈ 7.7 at the 87k-zone world), so ~670k WKB
+    parses + PreparedPolygon builds (~30 µs each ≈ 20 s of CPU) ran
+    redundantly per build, and got WORSE with more workers (less per-worker
+    cache reuse). The pack parses each zone exactly once in a map_batches
+    stage; workers then take zero-copy slices.
+
+    Layout (CSR over edges): ``x1/y1/x2/y2`` float64 edge arrays for all
+    zones concatenated, ``off`` int64 (n_zones+1) zone offsets, per-zone
+    ``bminx/bminy/bmaxx/bmaxy`` bboxes and ``area``, ``osm_id`` (Arrow
+    string array, for vectorized ``pc.index_in`` lookups), and the sorted
+    build-cell index ``(bcell, bzone)``. Zones whose WKB fails to parse are
+    absent → id lookup miss → covers false, matching the reference
+    (zone_ext.rs:247-273)."""
+    cfg = cfg or EngineConfig()
+    pack_schema = pa.schema(
+        [
+            ("osm_id", pa.string()),
+            ("n", pa.int64()),
+            ("x1", pa.list_(pa.float64())),
+            ("y1", pa.list_(pa.float64())),
+            ("x2", pa.list_(pa.float64())),
+            ("y2", pa.list_(pa.float64())),
+            ("bminx", pa.float64()),
+            ("bminy", pa.float64()),
+            ("bmaxx", pa.float64()),
+            ("bmaxy", pa.float64()),
+            ("area", pa.float64()),
+        ]
+    )
+
+    def parse_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["boundary_wkb"]))
+        ids = t["osm_id"].to_pylist()
+        wkbs = t["boundary_wkb"].to_pylist()
+        areas = t["area"].to_numpy(zero_copy_only=False)
+        rows = {k: [] for k in pack_schema.names}
+        for i, (zid, wkb) in enumerate(zip(ids, wkbs)):
+            try:
+                p = PreparedPolygon(multipolygon_from_wkb(wkb))
+            except Exception:
+                continue  # absent from pack → covers false
+            rows["osm_id"].append(zid)
+            rows["n"].append(p.x1.size)
+            rows["x1"].append(p.x1)
+            rows["y1"].append(p.y1)
+            rows["x2"].append(p.x2)
+            rows["y2"].append(p.y2)
+            rows["bminx"].append(p.bbox[0])
+            rows["bminy"].append(p.bbox[1])
+            rows["bmaxx"].append(p.bbox[2])
+            rows["bmaxy"].append(p.bbox[3])
+            rows["area"].append(float(areas[i]))
+        return pa.table(rows, schema=pack_schema)
+
+    from ..functions.arrowtools import materialized_table
+
+    packed = zones.select_columns(["osm_id", "boundary_wkb", "area"]).map_batches(
+        parse_batch, batch_format="pyarrow"
+    )
+    tbl = materialized_table(packed.materialize(), schema=pack_schema)
+    counts = tbl["n"].to_numpy(zero_copy_only=False)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+
+    def _flat(col: str) -> np.ndarray:
+        arr = tbl[col].combine_chunks()
+        return np.ascontiguousarray(arr.flatten().to_numpy(zero_copy_only=False))
+
+    pack = {
+        "osm_id": tbl["osm_id"].combine_chunks(),
+        "off": off,
+        "x1": _flat("x1"),
+        "y1": _flat("y1"),
+        "x2": _flat("x2"),
+        "y2": _flat("y2"),
+        "bminx": tbl["bminx"].to_numpy(zero_copy_only=False),
+        "bminy": tbl["bminy"].to_numpy(zero_copy_only=False),
+        "bmaxx": tbl["bmaxx"].to_numpy(zero_copy_only=False),
+        "bmaxy": tbl["bmaxy"].to_numpy(zero_copy_only=False),
+        "area": tbl["area"].to_numpy(zero_copy_only=False),
+    }
+    # build-cell index: each zone's covering at its own resolution, sorted
+    # by cell for binary-search probes (driver-side vectorized — ≤ 64
+    # cells/zone by the coarsening cap, so ≤ 64M rows at the 10^6-zone
+    # scale assumption)
+    cells = cfg.cells()
+    bcell_parts, bzone_parts = [], []
+    if len(counts) > 0:
+        own_li, ix0s, iy0s, nxs, ccounts = _grid_arrays(
+            cells, pack["bminx"], pack["bminy"], pack["bmaxx"], pack["bmaxy"]
+        )
+        for li, r in enumerate(cells.ladder):
+            sel = np.nonzero(own_li == li)[0]
+            if sel.size == 0:
+                continue
+            cell, zrep = _expand_cells(cells, (li, sel), r, ix0s, iy0s, nxs, ccounts)
+            bcell_parts.append(cell)
+            bzone_parts.append(zrep)
+    if bcell_parts:
+        bcell = np.concatenate(bcell_parts)
+        bzone = np.concatenate(bzone_parts)
+        order = np.argsort(bcell, kind="stable")
+        pack["bcell"] = bcell[order]
+        pack["bzone"] = bzone[order]
+    else:
+        pack["bcell"] = np.array([], dtype=np.int64)
+        pack["bzone"] = np.array([], dtype=np.int64)
+    return ray.put(pack)
+
+
+def _candidates_fn(pack_ref, cfg: EngineConfig):
+    """Map-side candidate join: for a batch of zones (as children), probe
+    the broadcast build-cell index at every ladder resolution ≤ each
+    child's own, expand matches via searchsorted runs, and apply the three
+    vectorized pair filters (parent-bbox-contains-child prefilter,
+    self-exclusion, canonical-cell dedup). One numpy pass per batch — no
+    shuffle, no per-group Python."""
+    cells = cfg.cells()
+    from ..functions.broadcast import get_cached
 
     def fn(batch: pa.Table) -> pa.Table:
+        pack = get_cached(pack_ref)
+        bcell, bzone = pack["bcell"], pack["bzone"]
+        if batch.num_rows == 0 or bcell.size == 0:
+            return _CAND_IDX_SCHEMA.empty_table()
         minx = batch["minx"].to_numpy(zero_copy_only=False)
         miny = batch["miny"].to_numpy(zero_copy_only=False)
         maxx = batch["maxx"].to_numpy(zero_copy_only=False)
         maxy = batch["maxy"].to_numpy(zero_copy_only=False)
-        areas = batch["area"].to_numpy(zero_copy_only=False)
-        valid = np.isfinite(minx)
-        ids_arr = batch["osm_id"].combine_chunks() if isinstance(
-            batch["osm_id"], pa.ChunkedArray
-        ) else batch["osm_id"]
-        # stable per-zone salt (crc32, not the process-randomized str hash)
-        salts_of = np.array(
-            [zlib.crc32(s.encode()) % n_salts for s in ids_arr.to_pylist()],
-            dtype=np.int8,
+        ids = batch["osm_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        # child's pack row (self-exclusion vs parent pack rows); children
+        # absent from the pack (unparseable boundary) emit no pairs
+        cpack = (
+            pc.index_in(ids, value_set=pack["osm_id"])
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        # per zone per ladder res: grid index ranges + cell counts
-        nz = len(minx)
-        counts = np.empty((len(ladder), nz), dtype=np.int64)
-        ix0s = np.empty((len(ladder), nz), dtype=np.int64)
-        iy0s = np.empty((len(ladder), nz), dtype=np.int64)
-        nxs = np.empty((len(ladder), nz), dtype=np.int64)
-        for li, r in enumerate(ladder):
-            ix0, iy0 = cells._grid_index(minx, miny, r)
-            ix1, iy1 = cells._grid_index(maxx, maxy, r)
-            ix0s[li], iy0s[li] = ix0, iy0
-            nxs[li] = ix1 - ix0 + 1
-            counts[li] = nxs[li] * (iy1 - iy0 + 1)
-        # own resolution = finest ladder index with count ≤ cap (cummax trick:
-        # once a resolution exceeds the cap all finer ones do too on a grid)
-        ok = counts <= cap
-        own_li = np.maximum(ok.cumprod(axis=0).sum(axis=0) - 1, 0)
-
-        out = {k: [] for k in ("cell", "salt", "osm_id_idx", "role")}
-        for li, r in enumerate(ladder):
-            # zones emitting at this resolution: probes where own_li >= li,
-            # builds where own_li == li
-            probe_sel = np.nonzero(valid & (own_li >= li))[0]
-            if probe_sel.size == 0:
+        valid = np.isfinite(minx) & (cpack >= 0)
+        own_li, ix0s, iy0s, nxs, counts = _grid_arrays(cells, minx, miny, maxx, maxy)
+        pcell_parts, prow_parts = [], []
+        for li, r in enumerate(cells.ladder):
+            sel = np.nonzero(valid & (own_li >= li))[0]
+            if sel.size == 0:
                 continue
-            cnt = counts[li][probe_sel]
-            zrep = np.repeat(probe_sel, cnt)
-            total = int(cnt.sum())
-            within = np.arange(total, dtype=np.int64) - np.repeat(
-                np.cumsum(cnt) - cnt, cnt
-            )
-            nx = nxs[li][zrep]
-            ix = ix0s[li][zrep] + within % nx
-            iy = iy0s[li][zrep] + within // nx
-            cell = cells._encode(r, ix, iy)
-            is_build = (own_li[zrep] == li).astype(np.int8)
-            if r <= salt_res_max:
-                # probe rows: one salt (the zone's); build rows: replicated
-                # across every salt (emitted below)
-                out["cell"].append(cell)
-                out["salt"].append(salts_of[zrep])
-                out["osm_id_idx"].append(zrep)
-                out["role"].append(np.ones(cell.size, dtype=np.int8))
-                bmask = is_build.astype(bool)
-                if bmask.any():
-                    bcell = np.tile(cell[bmask], n_salts)
-                    bidx = np.tile(zrep[bmask], n_salts)
-                    bsalt = np.repeat(
-                        np.arange(n_salts, dtype=np.int8), int(bmask.sum())
-                    )
-                    out["cell"].append(bcell)
-                    out["salt"].append(bsalt)
-                    out["osm_id_idx"].append(bidx)
-                    out["role"].append(np.zeros(bcell.size, dtype=np.int8))
-            else:
-                zero = np.zeros(cell.size, dtype=np.int8)
-                out["cell"].append(cell)
-                out["salt"].append(zero)
-                out["osm_id_idx"].append(zrep)
-                out["role"].append(np.ones(cell.size, dtype=np.int8))
-                bmask = is_build.astype(bool)
-                if bmask.any():
-                    out["cell"].append(cell[bmask])
-                    out["salt"].append(zero[: int(bmask.sum())])
-                    out["osm_id_idx"].append(zrep[bmask])
-                    out["role"].append(np.zeros(int(bmask.sum()), dtype=np.int8))
-        if not out["cell"]:
-            idx = np.array([], dtype=np.int64)
-            cell = np.array([], dtype=np.int64)
-            salt = np.array([], dtype=np.int8)
-            role = np.array([], dtype=np.int8)
-        else:
-            cell = np.concatenate(out["cell"])
-            salt = np.concatenate(out["salt"])
-            idx = np.concatenate(out["osm_id_idx"])
-            role = np.concatenate(out["role"])
-        take = pa.array(idx, type=pa.int64())
-        return pa.table(
-            {
-                "cell": pa.array(cell, type=pa.int64()),
-                "salt": pa.array(salt, type=pa.int8()),
-                "osm_id": ids_arr.take(take),
-                "role": pa.array(role, type=pa.int8()),
-                "area": pa.array(areas[idx], type=pa.float64()),
-                "minx": pa.array(minx[idx], type=pa.float64()),
-                "miny": pa.array(miny[idx], type=pa.float64()),
-                "maxx": pa.array(maxx[idx], type=pa.float64()),
-                "maxy": pa.array(maxy[idx], type=pa.float64()),
-            }
-        )
-
-    return fn
-
-
-def _emit_candidates_fn(cells):
-    """Per-(cell,salt)-group candidate emitter with canonical-cell dedup.
-
-    A (child, parent) pair can only match in groups at the parent's build
-    resolution r_p (build rows exist only there). Among those, exactly one
-    cell contains the child's bbox min corner: the parent's bbox covering
-    includes it (parent bbox ⊇ child bbox after the prefilter) and the
-    child's probe covering at r_p includes it (probes cover the child bbox
-    at every ladder resolution ≤ its own, and r_p ≤ r_child since the
-    child's bbox is smaller). Emitting only in that cell yields each pair
-    exactly once globally — no dedup shuffle downstream."""
-
-    def fn(key: tuple, group: pa.Table) -> pa.Table:
-        role = group["role"].to_numpy(zero_copy_only=False)
-        bmask = role == 0
-        pmask = role == 1
-        if not bmask.any() or not pmask.any():
-            return _CAND_SCHEMA.empty_table()
-        ids = np.asarray(group["osm_id"].to_pylist(), dtype=object)
-        minx = group["minx"].to_numpy(zero_copy_only=False)
-        miny = group["miny"].to_numpy(zero_copy_only=False)
-        maxx = group["maxx"].to_numpy(zero_copy_only=False)
-        maxy = group["maxy"].to_numpy(zero_copy_only=False)
-        bi = np.nonzero(bmask)[0]
-        pi = np.nonzero(pmask)[0]
+            cell, zrep = _expand_cells(cells, (li, sel), r, ix0s, iy0s, nxs, counts)
+            pcell_parts.append(cell)
+            prow_parts.append(zrep)
+        if not pcell_parts:
+            return _CAND_IDX_SCHEMA.empty_table()
+        pcell = np.concatenate(pcell_parts)
+        prow = np.concatenate(prow_parts)
+        lo = np.searchsorted(bcell, pcell, side="left")
+        hi = np.searchsorted(bcell, pcell, side="right")
+        nm = hi - lo
+        hit = nm > 0
+        if not hit.any():
+            return _CAND_IDX_SCHEMA.empty_table()
+        lo, nm, pcell, prow = lo[hit], nm[hit], pcell[hit], prow[hit]
+        total = int(nm.sum())
+        child_rows = np.repeat(prow, nm)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nm) - nm, nm)
+        bpos = np.repeat(lo, nm) + within
+        parent_pack = bzone[bpos]
+        matched_cell = np.repeat(pcell, nm)
         # parent bbox must contain child bbox (covers ⇒ bbox-contains prefilter)
-        contains = (
-            (minx[bi][None, :] <= minx[pi][:, None])
-            & (miny[bi][None, :] <= miny[pi][:, None])
-            & (maxx[bi][None, :] >= maxx[pi][:, None])
-            & (maxy[bi][None, :] >= maxy[pi][:, None])
+        keep = (
+            (pack["bminx"][parent_pack] <= minx[child_rows])
+            & (pack["bminy"][parent_pack] <= miny[child_rows])
+            & (pack["bmaxx"][parent_pack] >= maxx[child_rows])
+            & (pack["bmaxy"][parent_pack] >= maxy[child_rows])
+            & (parent_pack != cpack[child_rows])
         )
-        ci, bj = np.nonzero(contains)
-        child = ids[pi[ci]]
-        parent = ids[bi[bj]]
-        parea = group["area"].to_numpy(zero_copy_only=False)[bi[bj]]
-        cell = int(key[0])
-        canon = cells.cell_of(minx[pi[ci]], miny[pi[ci]], cells.res_of(cell))
-        keep = (child != parent) & (np.atleast_1d(canon) == cell)
+        # canonical-cell dedup at each pair's matched (= parent's build)
+        # resolution — via the injectable cell scheme, vectorized per
+        # distinct resolution (ladder is ≤ ~11 entries)
+        ucells, inv = np.unique(matched_cell, return_inverse=True)
+        ures = np.fromiter(
+            (cells.res_of(int(c)) for c in ucells), dtype=np.int64, count=ucells.size
+        )
+        pair_res = ures[inv]
+        canon = np.empty(matched_cell.size, dtype=np.int64)
+        for r in np.unique(ures):
+            sel = pair_res == r
+            canon[sel] = cells.cell_of(minx[child_rows[sel]], miny[child_rows[sel]], int(r))
+        keep &= canon == matched_cell
+        child_rows = child_rows[keep]
+        parent_pack = parent_pack[keep]
+        # pack row indices ride along so the covers stage never re-hashes
+        # the 10^5-row osm_id value_set per batch (pc.index_in rebuilds its
+        # hash table on every call)
         return pa.table(
             {
-                "child": pa.array(child[keep].tolist(), type=pa.string()),
-                "parent": pa.array(parent[keep].tolist(), type=pa.string()),
-                "parent_area": pa.array(parea[keep], type=pa.float64()),
+                "child": ids.take(pa.array(child_rows, type=pa.int64())),
+                "parent": pack["osm_id"].take(
+                    pa.array(parent_pack, type=pa.int64())
+                ),
+                "parent_area": pa.array(
+                    pack["area"][parent_pack], type=pa.float64()
+                ),
+                "child_idx": pa.array(cpack[child_rows], type=pa.int64()),
+                "parent_idx": pa.array(parent_pack, type=pa.int64()),
             },
-            schema=_CAND_SCHEMA,
+            schema=_CAND_IDX_SCHEMA,
         )
 
     return fn
 
 
+def covers_tester_fn(pack_ref):
+    """Exact-covers stage over the broadcast GeomPack (see
+    ``build_geom_pack``): per batch, pairs are grouped by parent (one
+    in-batch argsort); the parent gets one ``PreparedPolygon.from_edges``
+    (cached per worker — stripe index built lazily for big boundaries), and
+    each parent's SMALL children are tested with ONE ``covers_concat`` call
+    over gathered slices of the pack (no per-child parse, no per-child
+    Python object). Big children (>1k edges, real OSM boundaries) fall back
+    to the stripe-indexed scalar ``covers``."""
+    from ..functions.broadcast import get_cached, get_cached_transformed
+    from ..geom.predicates import covers, covers_concat
 
-
-def covers_tester_fn(geom_ref):
-    """Stateless-task exact-covers stage over a broadcast **Arrow** geometry
-    table (osm_id, boundary_wkb) — zero-copy from the object store, unlike a
-    Python dict broadcast (seconds of unpickling per worker at 10⁵ zones).
-    id→row lookup is one vectorized ``pc.index_in`` per batch; prepared
-    geometries are cached per worker keyed by row index (tasks reuse worker
-    processes, so state is still built once per worker — SURVEY §7.2)."""
-    from ..functions.broadcast import get_cached_transformed, lookup_str_indices
-
-    def _entry(tbl: pa.Table) -> dict:
+    def _entry(pack: dict) -> dict:
         import gc
 
-        # freeze the broadcast state out of cyclic-GC scans: at 10⁵+ zones
-        # the per-worker prepared cache grows to millions of tracked numpy
-        # objects and gen-2 collections dominated wall time (run-to-run 2×
-        # variance at K=16 worlds)
+        # freeze the broadcast out of cyclic-GC scans (gen-2 collections
+        # dominated wall time at 10⁵-zone worlds before freezing)
         gc.collect()
         gc.freeze()
-        return {
-            "wkb": tbl["boundary_wkb"].combine_chunks(),
-            "prep": {},
-        }
+        return {"pack": pack, "prep": {}}
 
     def _prep(entry, idx: int) -> PreparedPolygon | None:
-        if idx < 0:
-            return None
         cache = entry["prep"]
         p = cache.get(idx)
         if p is None:
-            if len(cache) > 150_000:
-                cache.clear()  # bound per-worker heap (GC pressure)
-            try:
-                p = PreparedPolygon(
-                    multipolygon_from_wkb(entry["wkb"][idx].as_py())
-                )
-            except Exception:
-                return None  # invalid geometry → covers false (zone_ext.rs:247-273)
+            if len(cache) > 50_000:
+                cache.clear()  # bound per-worker heap
+            pk = entry["pack"]
+            s, e = pk["off"][idx], pk["off"][idx + 1]
+            if e <= s:
+                return None
+            p = PreparedPolygon.from_edges(
+                pk["x1"][s:e], pk["y1"][s:e], pk["x2"][s:e], pk["y2"][s:e]
+            )
             cache[idx] = p
         return p
 
     def fn(batch: pa.Table) -> pa.Table:
-        entry = get_cached_transformed(geom_ref, "prep", _entry)
-        ci = lookup_str_indices(geom_ref, "osm_id", batch["child"].to_pylist())
-        pi = lookup_str_indices(geom_ref, "osm_id", batch["parent"].to_pylist())
+        has_idx = "child_idx" in batch.column_names
+        if batch.num_rows == 0:
+            return batch.select(_CAND_SCHEMA.names) if has_idx else batch
+        pack = get_cached(pack_ref)
+        entry = get_cached_transformed(pack_ref, "prep", _entry)
+        ids = pack["osm_id"]
+        if has_idx:
+            # pack rows already resolved by the candidate stage — no
+            # per-batch value_set re-hash
+            ci = batch["child_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pi = batch["parent_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+            batch = batch.select(_CAND_SCHEMA.names)
+        else:
+            ci = (
+                pc.index_in(batch["child"], value_set=ids)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            pi = (
+                pc.index_in(batch["parent"], value_set=ids)
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        off = pack["off"]
+        x1, y1, x2, y2 = pack["x1"], pack["y1"], pack["x2"], pack["y2"]
         keep = np.zeros(len(ci), dtype=bool)
-        # group pairs by parent → one vectorized covers_many per parent run
-        # (bounded at ~4096 child edges per call for memory)
         order = np.argsort(pi, kind="stable")
         pi_s = pi[order]
         runs = np.nonzero(np.r_[True, pi_s[1:] != pi_s[:-1]])[0]
         run_ends = np.append(runs[1:], len(pi_s))
         for rs, re_ in zip(runs, run_ends):
             p_idx = int(pi_s[rs])
+            if p_idx < 0:
+                continue
             pp = _prep(entry, p_idx)
-            rows = order[rs:re_]
             if pp is None:
                 continue
-            preps_b = [_prep(entry, int(ci[r])) for r in rows]
-            # split so total child edges per call stays bounded (memory of
-            # the edge × point matrices in covers_many)
-            start = 0
-            while start < len(rows):
-                end = start
-                edges_acc = 0
-                while end < len(rows):
-                    e = preps_b[end].x1.size if preps_b[end] is not None else 0
-                    if end > start and edges_acc + e > 4096:
-                        break
-                    edges_acc += e
-                    end += 1
-                sub = preps_b[start:end]
+            rows = order[rs:re_]
+            cidx = ci[rows]
+            valid = cidx >= 0
+            cnt = np.zeros(len(rows), dtype=np.int64)
+            cnt[valid] = off[cidx[valid] + 1] - off[cidx[valid]]
+            small = valid & (cnt > 0) & (cnt <= _BIG_CHILD_EDGES)
+            # big children: stripe-indexed scalar covers (rare; cached prep)
+            for r in np.nonzero(valid & (cnt > _BIG_CHILD_EDGES))[0]:
+                cp = _prep(entry, int(cidx[r]))
+                if cp is None:
+                    continue
                 try:
-                    res = covers_many(pp, sub)
+                    keep[rows[r]] = covers(pp, cp)
+                except Exception:
+                    keep[rows[r]] = False
+            srows = np.nonzero(small)[0]
+            # chunk so total gathered child edges per call stays bounded
+            # (memory of the edge × point matrices in covers_concat)
+            start = 0
+            while start < len(srows):
+                acc = 0
+                end = start
+                while end < len(srows):
+                    e = int(cnt[srows[end]])
+                    if end > start and acc + e > 8192:
+                        break
+                    acc += e
+                    end += 1
+                sub = srows[start:end]
+                subc = cidx[sub]
+                subcnt = cnt[sub]
+                segs = np.zeros(len(sub) + 1, dtype=np.int64)
+                np.cumsum(subcnt, out=segs[1:])
+                gidx = np.repeat(off[subc], subcnt) + (
+                    np.arange(int(subcnt.sum()), dtype=np.int64)
+                    - np.repeat(segs[:-1], subcnt)
+                )
+                try:
+                    res = covers_concat(
+                        pp, x1[gidx], y1[gidx], x2[gidx], y2[gidx], segs
+                    )
                 except Exception:
                     res = np.zeros(len(sub), dtype=bool)
-                keep[rows[start:end]] = res
+                keep[rows[sub]] = res
                 start = end
         return batch.filter(pa.array(keep))
 
     return fn
 
 
-def broadcast_geometries(zones: rd.Dataset):
-    """Collect the (osm_id, boundary_wkb) Arrow table into one broadcast
-    object (``ray.put`` once, zero-copy read by every covers task — never
-    re-shipped per batch, never a Python dict)."""
-    parts = []
-    for b in zones.select_columns(["osm_id", "boundary_wkb"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        parts.append(b.filter(pa.compute.is_valid(b["boundary_wkb"])))
-    tbl = (
-        pa.concat_tables(parts).combine_chunks()
-        if parts
-        else pa.schema(
-            [("osm_id", pa.string()), ("boundary_wkb", pa.binary())]
-        ).empty_table()
-    )
-    return ray.put(tbl)
-
-
 def find_inclusion_edges(
-    zones: rd.Dataset, cfg: EngineConfig | None = None, geom_ref=None
+    zones: rd.Dataset, cfg: EngineConfig | None = None, pack_ref=None
 ) -> rd.Dataset:
     """zones Dataset → inclusion edge Dataset (child, parent): parent's
-    boundary covers child (/root/reference/src/hierarchy_builder.rs:76-95)."""
+    boundary covers child (/root/reference/src/hierarchy_builder.rs:76-95).
+
+    Both stages are plain ``map_batches`` over the broadcast GeomPack —
+    Ray fuses them into one streaming task chain with no all-to-all
+    exchange (see module docstring for the uniqueness argument)."""
     cfg = cfg or EngineConfig()
     boundary_zones = zones.map_batches(
-        lambda t: t.filter(pa.compute.is_valid(t["boundary_wkb"])),
+        lambda t: t.filter(pc.is_valid(t["boundary_wkb"])),
         batch_format="pyarrow",
     )
+    if pack_ref is None:
+        pack_ref = build_geom_pack(boundary_zones, cfg)
     lite = boundary_zones.select_columns(
         ["osm_id", "minx", "miny", "maxx", "maxy", "area"]
     )
-    cover = lite.map_batches(
-        _covering_rows_fn(cfg), batch_format="pyarrow", batch_size=cfg.zone_batch_size
+    # batch sizes: the lite table is narrow, so candidate batches are large
+    # (amortizes the one index_in per batch); the covers stage takes each
+    # candidate batch whole (batch_size=None) — a row-count batch_size here
+    # would make Ray bundle several input blocks per fused task and CAP the
+    # stage's parallelism below the cluster size (measured: 19 tasks at the
+    # 349k-zone world with batch_size=16384)
+    cands = lite.map_batches(
+        _candidates_fn(pack_ref, cfg),
+        batch_format="pyarrow",
+        batch_size=4096,
     )
-    # pairs are globally unique by canonical-cell construction — no
-    # distinct_rows shuffle between candidate generation and the exact test
-    cands = grouped_map(
-        cover,
-        ["cell", "salt"],
-        _emit_candidates_fn(cfg.cells()),
-        num_partitions=cfg.join_num_partitions,
-        empty_schema=_CAND_SCHEMA,
-    )
-    if geom_ref is None:
-        geom_ref = broadcast_geometries(boundary_zones)
-    # exact test partitioned BY PARENT: every pair of a parent lands in one
-    # partition, so one vectorized covers_many call handles a parent's whole
-    # child set (canonical-cell partitions left parent runs of 1-2 pairs per
-    # batch, collapsing covers_many back to per-pair overhead)
-    from ..functions.shuffle import partitioned_map
-
-    edges = partitioned_map(
-        cands,
-        ["parent"],
-        covers_tester_fn(geom_ref),
-        num_partitions=cfg.join_num_partitions,
-        empty_schema=_CAND_SCHEMA,
+    edges = cands.map_batches(
+        covers_tester_fn(pack_ref), batch_format="pyarrow", batch_size=None
     )
     return edges

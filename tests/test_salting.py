@@ -1,17 +1,23 @@
-"""Mega-zone salting path: a zone whose covering lands on the coarsest grid
-resolutions must replicate its build rows across every salt, and probes (one
-salt each) must still meet it — the hot-key mitigation of SURVEY §7.4."""
+"""Mega-zone coarsening path: a zone whose bbox spans most of the world must
+cap its build-cell covering at ``max_cells_per_zone`` (the hot-key mitigation
+of SURVEY §7.4 — a country polygon never explodes into millions of index
+rows), and must still be found as a parent by the map-side cell join. Also
+pins the canonical-cell uniqueness invariant: every (child, parent) pair is
+emitted exactly once with no dedup shuffle."""
 
 import numpy as np
 import pyarrow as pa
-import pytest
 
 import ray.data as rd
 
 from cosmogony_ray.config import EngineConfig
 from cosmogony_ray.geom.wkb import multipolygon_to_wkb
 from cosmogony_ray.model import ZONE_SCHEMA
-from cosmogony_ray.stages.inclusion import _covering_rows_fn, find_inclusion_edges
+from cosmogony_ray.stages.inclusion import (
+    _candidates_fn,
+    build_geom_pack,
+    find_inclusion_edges,
+)
 
 
 def rect(a, b, c, d):
@@ -50,24 +56,19 @@ MEGA = (-170.0, -80.0, 170.0, 80.0)  # covers most of the world → coarse res
 SMALL = (10.0, 10.0, 10.5, 10.5)
 
 
-def test_build_rows_replicated_across_salts():
+def test_mega_zone_build_cells_capped(ray_session):
     cfg = EngineConfig()
-    fn = _covering_rows_fn(cfg)
-    batch = pa.Table.from_pylist([_zone("relation:1", MEGA)], schema=ZONE_SCHEMA)
-    out = fn(batch.select(["osm_id", "minx", "miny", "maxx", "maxy", "area"]))
-    df = out.to_pandas()
-    build = df[df["role"] == 0]
-    coarse = build[build["cell"].map(lambda c: (c >> 58) <= cfg.min_res + 1)]
-    assert len(coarse) > 0, "mega zone must cover coarse cells"
-    # every coarse build cell appears once per salt
-    per_cell = coarse.groupby("cell")["salt"].nunique()
-    assert (per_cell == cfg.num_salts).all()
-    # probe rows carry exactly one salt per coarse cell
-    probe = df[(df["role"] == 1) & (df["cell"].map(lambda c: (c >> 58) <= cfg.min_res + 1))]
-    assert (probe.groupby("cell")["salt"].nunique() == 1).all()
+    zones = rd.from_arrow(
+        pa.Table.from_pylist([_zone("relation:1", MEGA)], schema=ZONE_SCHEMA)
+    )
+    import ray
+
+    pack = ray.get(build_geom_pack(zones, cfg))
+    assert 0 < pack["bcell"].size <= cfg.max_cells_per_zone
+    assert (np.diff(pack["bcell"]) >= 0).all(), "build index must be sorted"
 
 
-def test_salted_mega_zone_still_found_as_parent(ray_session):
+def test_mega_zone_still_found_as_parent(ray_session):
     cfg = EngineConfig()
     zones = rd.from_arrow(
         pa.Table.from_pylist(
@@ -77,3 +78,25 @@ def test_salted_mega_zone_still_found_as_parent(ray_session):
     )
     edges = {(r["child"], r["parent"]) for r in find_inclusion_edges(zones, cfg).take_all()}
     assert edges == {("relation:2", "relation:1")}
+
+
+def test_candidate_pairs_unique_by_construction(ray_session):
+    """Nested quadrants: each pair must appear exactly once in the raw
+    candidate stream (canonical-cell dedup), before the covers test."""
+    cfg = EngineConfig()
+    rows = [_zone("relation:1", (0.0, 0.0, 8.0, 8.0))]
+    k = 2
+    for i in range(4):
+        for j in range(4):
+            rows.append(
+                _zone(f"relation:{k}", (i * 2.0, j * 2.0, (i + 1) * 2.0, (j + 1) * 2.0))
+            )
+            k += 1
+    tbl = pa.Table.from_pylist(rows, schema=ZONE_SCHEMA)
+    zones = rd.from_arrow(tbl)
+    pack_ref = build_geom_pack(zones, cfg)
+    fn = _candidates_fn(pack_ref, cfg)
+    cands = fn(tbl.select(["osm_id", "minx", "miny", "maxx", "maxy", "area"]))
+    pairs = list(zip(cands["child"].to_pylist(), cands["parent"].to_pylist()))
+    assert len(pairs) == len(set(pairs)), "canonical-cell dedup must hold"
+    assert set(pairs) == {(f"relation:{i}", "relation:1") for i in range(2, 18)}
