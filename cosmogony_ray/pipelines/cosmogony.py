@@ -38,6 +38,51 @@ from ..stages.zone_build import assemble_zones
 from ..state.rules import ZoneTyper
 
 
+def _finalize_fast_fn(attach_ref):
+    """ONE fused finalize map for the driver fast path: per batch, attach
+    the driver-computed (zone_type, country_code, parent, label,
+    international_labels) columns via a single broadcast ``index_in`` +
+    five takes, run the names merge (post-typing city rule), drop untyped
+    zones (P11, lib.rs:196-201) and project the public schema."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.labels import compute_names_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.broadcast import get_cached
+
+        tbl = get_cached(attach_ref)
+        idx_np = (
+            pc.index_in(batch["zone_uid"], value_set=tbl["zone_uid"].combine_chunks())
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        idx = pa.array(np.where(idx_np >= 0, idx_np, None), type=pa.int64())
+        for col in ("zone_type", "country_code", "parent"):
+            vals = pc.take(tbl[col].combine_chunks(), idx)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            batch = batch.set_column(
+                batch.column_names.index(col), col, vals.cast(pa.string())
+            )
+        batch = compute_names_batch(batch)
+        for col in ("label", "international_labels"):
+            vals = pc.take(tbl[col].combine_chunks(), idx)
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            if col == "label":
+                vals = pc.fill_null(vals, "").cast(pa.string())
+            else:
+                vals = pc.fill_null(vals, []).cast(batch.schema.field(col).type)
+            batch = batch.set_column(batch.column_names.index(col), col, vals)
+        batch = batch.filter(pc.is_valid(batch["zone_type"]))
+        return batch.select(list(ZONE_SCHEMA.names))
+
+    return fn
+
+
 @dataclass
 class CosmogonyResult:
     zones: rd.Dataset          # final (post-cleanup) zones
@@ -154,8 +199,113 @@ def _build_inner(
         edges_tbl = materialized_table(edges, schema=edges_schema).select(
             ["child", "parent", "parent_area"]
         )
-        anc_ref = ray.put(ancestors_from_edges_df(edges_tbl))
+        anc_tbl = ancestors_from_edges_df(edges_tbl)
         _tick("edges_collect")
+        if cfg.disable_voronoi:
+            # FUSED fast path: typing, parent selection and labels all run
+            # driver-side on the already-pulled zones table (vectorized
+            # kernels, ~seconds at 350k zones), then ONE distributed map
+            # attaches everything and finalizes. Removes two full-table
+            # materialize copies and three executor runs versus the staged
+            # path (typed/named re-materialized the whole zone table,
+            # boundary WKB included, per stage).
+            import numpy as np
+            import pyarrow.compute as pc
+
+            from ..stages.hierarchy import zone_meta_from_table
+            from ..stages.labels import driver_label_table
+            from ..stages.typing import type_zones_table
+
+            ztbl = state.table
+            aidx = (
+                pc.index_in(
+                    ztbl["osm_id"], value_set=anc_tbl["osm_id"].combine_chunks()
+                )
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            anc_lists = pc.take(
+                anc_tbl["ancestors"].combine_chunks(),
+                pa.array(np.where(aidx >= 0, aidx, None), type=pa.int64()),
+            )
+            if isinstance(anc_lists, pa.ChunkedArray):
+                anc_lists = anc_lists.combine_chunks()
+            zlite = pa.table(
+                {
+                    "osm_id": ztbl["osm_id"],
+                    "admin_level": ztbl["admin_level"],
+                    "zone_type": ztbl["zone_type"],
+                    "ancestors": anc_lists,
+                }
+            )
+            forced = cfg.country_code.upper() if cfg.country_code else None
+            if cfg.country_code is None and finder.is_empty():
+                raise ValueError(
+                    "no country_code provided and no country found; cannot "
+                    "build a cosmogony"
+                )  # lib.rs:121-127
+            typed_tbl = type_zones_table(zlite, typer, finder, forced)
+            _tick("typing")
+            meta = zone_meta_from_table(
+                pa.table(
+                    {
+                        "osm_id": ztbl["osm_id"],
+                        "zone_type": typed_tbl["zone_type"],
+                        "area": ztbl["area"],
+                    }
+                )
+            )
+            parents_tbl = select_parents_df(edges_tbl, meta)
+            _tick("parents")
+            labels_tbl = driver_label_table(
+                ztbl, typed_tbl, parents_tbl, tuple(cfg.filter_langs)
+            )
+            _tick("label_map")
+            pidx = (
+                pc.index_in(
+                    ztbl["osm_id"], value_set=parents_tbl["osm_id"].combine_chunks()
+                )
+                .fill_null(-1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            parent_col = pc.take(
+                parents_tbl["parent"].combine_chunks(),
+                pa.array(np.where(pidx >= 0, pidx, None), type=pa.int64()),
+            )
+            if isinstance(parent_col, pa.ChunkedArray):
+                parent_col = parent_col.combine_chunks()
+            attach = pa.table(
+                {
+                    "zone_uid": ztbl["zone_uid"],
+                    "zone_type": typed_tbl["zone_type"],
+                    "country_code": typed_tbl["country_code"],
+                    "parent": parent_col.cast(pa.string()),
+                    "label": labels_tbl["label"],
+                    "international_labels": labels_tbl["international_labels"],
+                }
+            )
+            final = zones.map_batches(
+                _finalize_fast_fn(ray.put(attach)), batch_format="pyarrow"
+            ).materialize()
+            _tick("final")
+            if with_stats:
+                typed_lite = rd.from_arrow(
+                    pa.table(
+                        {
+                            "type_status": typed_tbl["type_status"],
+                            "country_code": typed_tbl["country_code"],
+                            "admin_level": ztbl["admin_level"],
+                        }
+                    )
+                )
+                stats = compute_stats(final, typed_lite)
+            else:
+                stats = {}
+            _tick("stats")
+            return CosmogonyResult(zones=final, edges=edges, stats=stats)
+        anc_ref = ray.put(anc_tbl)
         zones_anc = attach_ancestors_broadcast(zones, anc_ref)
         typed = type_zones(zones_anc, cfg, finder, typer=typer).materialize()
         _tick("typing")

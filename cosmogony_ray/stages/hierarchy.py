@@ -38,12 +38,17 @@ def build_zone_meta(typed_zones: rd.Dataset) -> pa.Table:
     """(osm_id, zone_type rank as float64 w/ NaN for untyped, area) — Arrow
     table from the MATERIALIZED typed zones, executor-free and vectorized
     (rank via ``pc.index_in`` against the rank-ordered type names)."""
+    from ..functions.arrowtools import materialized_table
+
+    return zone_meta_from_table(materialized_table(typed_zones))
+
+
+def zone_meta_from_table(tbl: pa.Table) -> pa.Table:
+    """Table-input variant of ``build_zone_meta`` (driver fast path — the
+    fused build already holds the typed columns on the driver)."""
     import numpy as np
     import pyarrow.compute as pc
 
-    from ..functions.arrowtools import materialized_table
-
-    tbl = materialized_table(typed_zones)
     if tbl.num_rows == 0:
         return _META_SCHEMA.empty_table()
     names_by_rank = sorted(ZONE_TYPE_RANK, key=ZONE_TYPE_RANK.get)

@@ -161,6 +161,56 @@ def _label_map_batch(b: pa.Table) -> pa.Table:
     )
 
 
+def driver_label_table(
+    ztbl: pa.Table,
+    typed_tbl: pa.Table,
+    parents_tbl: pa.Table,
+    filter_langs: tuple[str, ...],
+) -> pa.Table:
+    """Driver fast path: labels computed in one pass from the ALREADY-PULLED
+    zones table + the driver typing/parents tables — no extra executor runs,
+    no re-materialization of the full zone table (the fused build path).
+
+    Applies the same name-merge → label-map → chain-walk sequence as the
+    staged path: ``compute_names_batch`` (post-typing city rule needs the
+    typed zone_type), ``_label_map_batch``, ``compute_labels_table``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    cols = ["zone_uid", "name", "tags", "center_tags", "wikidata", "zip_codes"]
+    lite = ztbl.select([c for c in cols if c != "zone_uid"] + ["zone_uid", "osm_id"])
+    lite = lite.append_column(
+        "zone_type",
+        typed_tbl["zone_type"]
+        if typed_tbl.num_rows == ztbl.num_rows
+        else pa.nulls(ztbl.num_rows, pa.string()),
+    )
+    merged = compute_names_batch(lite)
+    pidx = (
+        pc.index_in(ztbl["osm_id"], value_set=parents_tbl["osm_id"].combine_chunks())
+        .fill_null(-1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    parent = pc.take(
+        parents_tbl["parent"].combine_chunks(),
+        pa.array(np.where(pidx >= 0, pidx, None), type=pa.int64()),
+    )
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    lm_in = pa.table(
+        {
+            "zone_uid": ztbl["zone_uid"],
+            "name": ztbl["name"],
+            "tags": merged["tags"],
+            "parent": parent.cast(pa.string()),
+            "zip_codes": ztbl["zip_codes"],
+        }
+    )
+    label_map = _label_map_batch(lm_in)
+    return compute_labels_table(label_map, filter_langs)
+
+
 def build_label_map(named_zones: rd.Dataset) -> pa.Table:
     """(zone_uid, name, parent, intl name:* pairs) — broadcast as an Arrow
     table (zero-copy per worker; a Python dict broadcast cost seconds of

@@ -115,6 +115,154 @@ def build_country_finder(zones: rd.Dataset, typer: ZoneTyper) -> CountryFinder:
 _POS_BITS = 20  # score = country_level << _POS_BITS | candidate position
 
 
+def country_arrays(finder: CountryFinder) -> dict:
+    """Columnar view of the country map for the vectorized resolver."""
+    import numpy as np
+
+    ids = list(finder.countries.keys())
+    return {
+        "ids": pa.array(ids, type=pa.string()),
+        "iso": np.asarray([finder.countries[i][0] for i in ids], dtype=object),
+        "level": np.asarray([finder.countries[i][1] for i in ids], dtype=np.int64),
+    }
+
+
+def type_batch(
+    batch: pa.Table,
+    typer: ZoneTyper,
+    finder: CountryFinder,
+    forced: str | None,
+    ca: dict | None,
+) -> pa.Table:
+    """Vectorized typing kernel over one batch with an ``ancestors`` column
+    (shared by the distributed stage and the driver fast path — see
+    ``_typer_fn`` for the algorithm notes)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    ids_arr = batch["osm_id"]
+    if isinstance(ids_arr, pa.ChunkedArray):
+        ids_arr = ids_arr.combine_chunks()
+    anc = batch["ancestors"]
+    if isinstance(anc, pa.ChunkedArray):
+        anc = anc.combine_chunks()
+    counts = (
+        pc.fill_null(pc.list_value_length(anc), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    flat = anc.flatten()  # null rows contribute zero elements
+
+    # ---- country resolution (vectorized finder.find) ----
+    cc = np.full(n, None, dtype=object)
+    if forced:
+        cc[:] = forced
+    elif finder.countries:
+        hit = (
+            pc.index_in(flat, value_set=ca["ids"])
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self_hit = (
+            pc.index_in(ids_arr, value_set=ca["ids"])
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pos = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], counts)
+        score_flat = np.where(
+            hit >= 0, (ca["level"][np.maximum(hit, 0)] << _POS_BITS) | pos, -1
+        )
+        # self candidate sits AFTER the ancestors (position = count), so on
+        # equal level the self zone wins — "last max wins"
+        self_score = np.where(
+            self_hit >= 0,
+            (ca["level"][np.maximum(self_hit, 0)] << _POS_BITS) | counts,
+            -1,
+        )
+        best = self_score.copy()
+        np.maximum.at(best, seg, score_flat)
+        cc_idx = np.full(n, -1, dtype=np.int64)
+        m = (score_flat >= 0) & (score_flat == best[seg])
+        cc_idx[seg[m]] = hit[m]
+        sm = (self_score >= 0) & (self_score == best)
+        cc_idx[sm] = self_hit[sm]
+        found = cc_idx >= 0
+        cc[found] = ca["iso"][cc_idx[found]]
+
+    # ---- rules lookup per unique (country, admin_level) ----
+    levels = (
+        pc.fill_null(batch["admin_level"], 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    old_types = np.asarray(batch["zone_type"].to_pylist(), dtype=object)
+    new_types = old_types.copy()
+    status = np.full(n, "no_country", dtype=object)
+    has_cc = cc != None  # noqa: E711
+    ucc = np.unique(cc[has_cc].astype(str)) if has_cc.any() else []
+    ids_np = None
+    for c in ucc:
+        rows_c = np.nonzero(has_cc & (cc == c))[0]
+        rs = typer.rules.get(c)
+        if rs is None:
+            status[rows_c] = "invalid_country"
+            continue
+        t_c = np.full(len(rows_c), None, dtype=object)
+        for lv in np.unique(levels[rows_c]):
+            t_c[levels[rows_c] == lv] = rs.type_by_level.get(str(lv))
+        # override hits → full per-row semantics on the (rare) subset
+        over = np.zeros(len(rows_c), dtype=bool)
+        if rs.id_overrides:
+            okeys = pa.array(list(rs.id_overrides.keys()), type=pa.string())
+            over |= (
+                pc.index_in(ids_arr.take(pa.array(rows_c)), value_set=okeys)
+                .is_valid()
+                .to_numpy(zero_copy_only=False)
+            )
+        if rs.contained_by:
+            ckeys = pa.array(list(rs.contained_by.keys()), type=pa.string())
+            fhit = (
+                pc.index_in(flat, value_set=ckeys)
+                .is_valid()
+                .to_numpy(zero_copy_only=False)
+            )
+            if fhit.any():
+                chits = np.cumsum(np.concatenate(([False], fhit)))
+                row_has = (chits[offs[1:]] - chits[offs[:-1]]) > 0
+                over |= row_has[rows_c]
+        if over.any():
+            if ids_np is None:
+                ids_np = np.asarray(ids_arr.to_pylist(), dtype=object)
+            for k in np.nonzero(over)[0]:
+                i = rows_c[k]
+                t_c[k] = rs.get_zone_type(
+                    ids_np[i],
+                    int(levels[i]),
+                    list(flat[offs[i] : offs[i + 1]].to_pylist()),
+                )
+        ok = t_c != None  # noqa: E711
+        new_types[rows_c[ok]] = t_c[ok]
+        status[rows_c[ok]] = "ok"
+        status[rows_c[~ok]] = "unknown_level"  # keep place-tag type (lib.rs:165-180)
+    batch = batch.drop_columns(["zone_type", "country_code"])
+    batch = batch.append_column(
+        "zone_type", pa.array(new_types.tolist(), type=pa.string())
+    )
+    batch = batch.append_column(
+        "country_code", pa.array(cc.tolist(), type=pa.string())
+    )
+    batch = batch.append_column(
+        "type_status", pa.array(status.tolist(), type=pa.string())
+    )
+    return batch
+
+
 def _typer_fn(state_ref):
     """Stateless-task typing stage over broadcast (typer, finder, forced)
     state: rules are parsed ONCE on the driver, shipped via ``ray.put``, and
@@ -130,147 +278,35 @@ def _typer_fn(state_ref):
     encoded in the score's position bits, matching finder.find / the
     reference's max_by_key), and the rules lookup runs per UNIQUE
     (country, admin_level) with per-row Python only on override hits (id /
-    contained_by — rare by construction)."""
-    import numpy as np
-    import pyarrow.compute as pc
-
+    contained_by — rare by construction). Kernel shared with the driver
+    fast path: ``type_batch``."""
     from ..functions.broadcast import get_cached, get_cached_transformed
-
-    def _country_arrays(state) -> dict:
-        _, finder, _ = state
-        ids = list(finder.countries.keys())
-        return {
-            "ids": pa.array(ids, type=pa.string()),
-            "iso": np.asarray([finder.countries[i][0] for i in ids], dtype=object),
-            "level": np.asarray(
-                [finder.countries[i][1] for i in ids], dtype=np.int64
-            ),
-        }
 
     def fn(batch: pa.Table) -> pa.Table:
         typer, finder, forced = get_cached(state_ref)
-        n = batch.num_rows
-        ids_arr = batch["osm_id"]
-        if isinstance(ids_arr, pa.ChunkedArray):
-            ids_arr = ids_arr.combine_chunks()
-        anc = batch["ancestors"]
-        if isinstance(anc, pa.ChunkedArray):
-            anc = anc.combine_chunks()
-        counts = (
-            pc.fill_null(pc.list_value_length(anc), 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
+        ca = get_cached_transformed(
+            state_ref, "cfind", lambda s: country_arrays(s[1])
         )
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        flat = anc.flatten()  # null rows contribute zero elements
-
-        # ---- country resolution (vectorized finder.find) ----
-        cc = np.full(n, None, dtype=object)
-        if forced:
-            cc[:] = forced
-        elif finder.countries:
-            ca = get_cached_transformed(state_ref, "cfind", _country_arrays)
-            hit = (
-                pc.index_in(flat, value_set=ca["ids"])
-                .fill_null(-1)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            self_hit = (
-                pc.index_in(ids_arr, value_set=ca["ids"])
-                .fill_null(-1)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            seg = np.repeat(np.arange(n, dtype=np.int64), counts)
-            pos = np.arange(offs[-1], dtype=np.int64) - np.repeat(offs[:-1], counts)
-            score_flat = np.where(
-                hit >= 0, (ca["level"][np.maximum(hit, 0)] << _POS_BITS) | pos, -1
-            )
-            # self candidate sits AFTER the ancestors (position = count), so
-            # on equal level the self zone wins — "last max wins"
-            self_score = np.where(
-                self_hit >= 0,
-                (ca["level"][np.maximum(self_hit, 0)] << _POS_BITS) | counts,
-                -1,
-            )
-            best = self_score.copy()
-            np.maximum.at(best, seg, score_flat)
-            cc_idx = np.full(n, -1, dtype=np.int64)
-            m = (score_flat >= 0) & (score_flat == best[seg])
-            cc_idx[seg[m]] = hit[m]
-            sm = (self_score >= 0) & (self_score == best)
-            cc_idx[sm] = self_hit[sm]
-            found = cc_idx >= 0
-            cc[found] = ca["iso"][cc_idx[found]]
-
-        # ---- rules lookup per unique (country, admin_level) ----
-        levels = (
-            pc.fill_null(batch["admin_level"], 0)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        old_types = np.asarray(batch["zone_type"].to_pylist(), dtype=object)
-        new_types = old_types.copy()
-        status = np.full(n, "no_country", dtype=object)
-        has_cc = cc != None  # noqa: E711
-        ucc = np.unique(cc[has_cc].astype(str)) if has_cc.any() else []
-        ids_np = None
-        for c in ucc:
-            rows_c = np.nonzero(has_cc & (cc == c))[0]
-            rs = typer.rules.get(c)
-            if rs is None:
-                status[rows_c] = "invalid_country"
-                continue
-            t_c = np.full(len(rows_c), None, dtype=object)
-            for lv in np.unique(levels[rows_c]):
-                t_c[levels[rows_c] == lv] = rs.type_by_level.get(str(lv))
-            # override hits → full per-row semantics on the (rare) subset
-            over = np.zeros(len(rows_c), dtype=bool)
-            if rs.id_overrides:
-                okeys = pa.array(list(rs.id_overrides.keys()), type=pa.string())
-                over |= (
-                    pc.index_in(ids_arr.take(pa.array(rows_c)), value_set=okeys)
-                    .is_valid()
-                    .to_numpy(zero_copy_only=False)
-                )
-            if rs.contained_by:
-                ckeys = pa.array(list(rs.contained_by.keys()), type=pa.string())
-                fhit = (
-                    pc.index_in(flat, value_set=ckeys)
-                    .is_valid()
-                    .to_numpy(zero_copy_only=False)
-                )
-                if fhit.any():
-                    chits = np.cumsum(np.concatenate(([False], fhit)))
-                    row_has = (chits[offs[1:]] - chits[offs[:-1]]) > 0
-                    over |= row_has[rows_c]
-            if over.any():
-                if ids_np is None:
-                    ids_np = np.asarray(ids_arr.to_pylist(), dtype=object)
-                for k in np.nonzero(over)[0]:
-                    i = rows_c[k]
-                    t_c[k] = rs.get_zone_type(
-                        ids_np[i], int(levels[i]), list(flat[offs[i] : offs[i + 1]].to_pylist())
-                    )
-            ok = t_c != None  # noqa: E711
-            new_types[rows_c[ok]] = t_c[ok]
-            status[rows_c[ok]] = "ok"
-            status[rows_c[~ok]] = "unknown_level"  # keep place-tag type (lib.rs:165-180)
-        batch = batch.drop_columns(["zone_type", "country_code"])
-        batch = batch.append_column(
-            "zone_type", pa.array(new_types.tolist(), type=pa.string())
-        )
-        batch = batch.append_column(
-            "country_code", pa.array(cc.tolist(), type=pa.string())
-        )
-        batch = batch.append_column(
-            "type_status", pa.array(status.tolist(), type=pa.string())
-        )
-        return batch
+        return type_batch(batch, typer, finder, forced, ca)
 
     return fn
+
+
+def type_zones_table(
+    zlite_anc: pa.Table,
+    typer: ZoneTyper,
+    finder: CountryFinder,
+    forced: str | None,
+) -> pa.Table:
+    """Driver fast path: type a LITE zones table (osm_id, admin_level,
+    zone_type, ancestors [+ country_code]) in one vectorized pass — the
+    zone-scale analog of the distributed stage, used by the fused build
+    path so typing never re-materializes the full zone table."""
+    if "country_code" not in zlite_anc.column_names:
+        zlite_anc = zlite_anc.append_column(
+            "country_code", pa.nulls(zlite_anc.num_rows, pa.string())
+        )
+    return type_batch(zlite_anc, typer, finder, forced, country_arrays(finder))
 
 
 def type_zones(

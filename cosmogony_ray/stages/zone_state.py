@@ -24,6 +24,7 @@ class ZoneStateMaps:
     def __init__(self):
         self.geom_table: pa.Table = GEOM_SCHEMA.empty_table()  # osm_id, wkb
         self.country_rows: list[tuple] = []         # (osm_id, tags, admin_level)
+        self.table: pa.Table | None = None           # full materialized zones
 
 
 def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
@@ -31,6 +32,7 @@ def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
 
     out = ZoneStateMaps()
     tbl = materialized_table(zones)
+    out.table = tbl
     if tbl.num_rows == 0:
         return out
     out.geom_table = (
