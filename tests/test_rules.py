@@ -115,3 +115,22 @@ def test_typer_dir_load_and_skip_malformed(tmp_path):
 def test_empty_rules_dir_fails(tmp_path):
     with pytest.raises(ValueError):
         ZoneTyper.from_dir(str(tmp_path))
+
+
+def test_shipped_rule_corpus_loads_and_is_sane():
+    """Every shipped per-country YAML must parse, map level 2 -> country,
+    and define at least one city-typed level (the corpus is authored against
+    the libpostal schema of /root/reference/src/zone_typer.rs:198-229 from
+    public OSM admin_level conventions; see each file's header)."""
+    import os
+
+    from cosmogony_ray.state.rules import ZoneTyper
+
+    rules_dir = os.path.join(
+        os.path.dirname(__file__), "..", "cosmogony_ray", "assets", "rules"
+    )
+    typer = ZoneTyper.from_dir(rules_dir)
+    assert len(typer.rules) >= 30
+    for cc, rs in typer.rules.items():
+        assert rs.type_by_level.get("2") == "country", cc
+        assert any(v == "city" for v in rs.type_by_level.values()), cc
