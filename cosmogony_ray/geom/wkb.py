@@ -32,7 +32,10 @@ def _close_ring(ring: np.ndarray) -> np.ndarray:
     ring = np.asarray(ring, dtype=np.float64)
     if ring.shape[0] < 3:
         raise ValueError("ring needs >= 3 points")
-    if not np.array_equal(ring[0], ring[-1]):
+    # scalar compares, not array_equal: this runs per ring in the assembly
+    # hot loop and array_equal's dispatch cost dominated it (NaN endpoints
+    # compare unequal either way, so behavior is identical)
+    if ring[0, 0] != ring[-1, 0] or ring[0, 1] != ring[-1, 1]:
         ring = np.vstack([ring, ring[:1]])
     return ring
 

@@ -458,10 +458,19 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
         offs = mem.offsets.to_numpy(zero_copy_only=False)
         rel_ids = batch["osm_id"].to_pylist()
         rel_tags = batch["tags"].to_pylist()
-        rows = []
+        # scalar tag fields pulled vectorized ONCE per batch; the per-row
+        # dict(tags) conversion is only paid on label-node-merge rows
+        tcol = batch["tags"]
+        names_v = tags_get(tcol, "name").to_pylist()
+        loc_v = tags_get(tcol, "loc_name").to_pylist()
+        alt_v = tags_get(tcol, "alt_name").to_pylist()
+        wiki_v = tags_get(tcol, "wikidata").to_pylist()
+        lvl_v = tags_get(tcol, "admin_level").to_pylist()
+        pc1_v = tags_get(tcol, "addr:postcode").to_pylist()
+        pc2_v = tags_get(tcol, "postal_code").to_pylist()
+        cols: dict[str, list] = {k: [] for k in ZONE_SCHEMA.names}
         for i in range(batch.num_rows):
-            tags = dict(rel_tags[i] or [])
-            name = tags.get("name")
+            name = names_v[i]
             if not name:
                 continue  # unnamed → skipped (zone_ext.rs:126-135)
             lo, hi = offs[i], offs[i + 1]
@@ -485,10 +494,15 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
                     elif roles[j] == "admin_centre" and centre_node is None:
                         centre_node = j
             # label-node tag merge at construction (zone_ext.rs:166-181)
+            tags_out = rel_tags[i] or []
+            loc, alt, wiki = loc_v[i], alt_v[i], wiki_v[i]
+            zraw = pc1_v[i] or pc2_v[i] or ""
             if label_node is not None:
+                tags = dict(tags_out)
                 for k, v in dict(ntags_py[label_node] or []).items():
                     if k.startswith("name:") or k == "population":
                         tags.setdefault(k, v)
+                tags_out = tags.items()
             outer_rings = assemble_rings(outer_segs)
             if not outer_rings:
                 continue  # no boundary → zone skipped (lib.rs:78-81)
@@ -498,18 +512,44 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             center_j = centre_node if centre_node is not None else label_node
             if center_j is not None:
                 center = (float(nlon[center_j]), float(nlat[center_j]))
-                center_tags = dict(ntags_py[center_j] or [])
+                center_tags = sorted(ntags_py[center_j] or [])
             else:
                 center = multipolygon_centroid(mpoly)
                 if not (np.isfinite(center[0]) and np.isfinite(center[1])):
                     center = (None, None)
-                center_tags = {}
-            rows.append(
-                _zone_row(rel_ids[i], tags, name, mpoly, bbox, center, center_tags)
-            )
-        if not rows:
+                center_tags = []
+            uid = f"relation:{rel_ids[i]}"
+            cols["osm_id"].append(uid)
+            cols["zone_uid"].append(uid)
+            cols["kind"].append("relation")
+            cols["name"].append(name)
+            cols["admin_level"].append(_parse_level(lvl_v[i]))
+            cols["zone_type"].append(None)
+            cols["loc_name"].append(loc or "")
+            cols["alt_name"].append(alt or "")
+            cols["zip_codes"].append(sorted(s for s in zraw.split(";") if s))
+            cols["wikidata"].append(wiki)
+            cols["tags"].append(sorted(tags_out))
+            cols["center_tags"].append(center_tags)
+            cols["center_lon"].append(center[0])
+            cols["center_lat"].append(center[1])
+            cols["boundary_wkb"].append(multipolygon_to_wkb(mpoly))
+            cols["minx"].append(bbox[0])
+            cols["miny"].append(bbox[1])
+            cols["maxx"].append(bbox[2])
+            cols["maxy"].append(bbox[3])
+            cols["area"].append(multipolygon_area(mpoly))
+            cols["is_generated"].append(False)
+            cols["country_code"].append(None)
+            cols["parent"].append(None)
+            cols["label"].append("")
+            cols["international_labels"].append(_EMPTY_TAGS)
+        if not cols["osm_id"]:
             return _empty_zone_table()
-        return pa.Table.from_pylist(rows, schema=ZONE_SCHEMA)
+        return pa.table(
+            {k: pa.array(cols[k], type=ZONE_SCHEMA.field(k).type) for k in ZONE_SCHEMA.names},
+            schema=ZONE_SCHEMA,
+        )
 
     return fn
 
