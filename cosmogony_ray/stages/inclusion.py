@@ -406,6 +406,25 @@ def covers_tester_fn(pack_ref):
             valid = cidx >= 0
             cnt = np.zeros(len(rows), dtype=np.int64)
             cnt[valid] = off[cidx[valid] + 1] - off[cidx[valid]]
+            # BIG PARENTS (real OSM country/state boundaries, 10^4+ edges)
+            # take the stripe-indexed scalar path for EVERY child: the
+            # batched kernel's test-2/3 matrices are (child_edges ×
+            # parent_chunk) with a bbox prefilter over the CHILD SET's
+            # combined bbox — when children span the whole parent, nothing
+            # prefilters and one call touches ~0.3B cells (measured: 122 s
+            # inclusion on the 198-zone real-Luxembourg fixture, vs ~1 s
+            # scalar). The scalar path is O(points × stripe_bucket) per
+            # pair — the GEOS prepared-geometry operating point.
+            if pp.x1.size > _BIG_CHILD_EDGES:
+                for r in np.nonzero(valid & (cnt > 0))[0]:
+                    cp = _prep(entry, int(cidx[r]))
+                    if cp is None:
+                        continue
+                    try:
+                        keep[rows[r]] = covers(pp, cp)
+                    except Exception:
+                        keep[rows[r]] = False
+                continue
             small = valid & (cnt > 0) & (cnt <= _BIG_CHILD_EDGES)
             # big children: stripe-indexed scalar covers (rare; cached prep)
             for r in np.nonzero(valid & (cnt > _BIG_CHILD_EDGES))[0]:
