@@ -370,6 +370,27 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, qref, k=10)
 
 
+def _q_knn_ivf(sf_dir: str):
+    """IVF-Flat ANN (similarity-search scale path, SURVEY §2 extension):
+    driver-trained spherical k-means centroids, query scores only its
+    nprobe inverted lists; exact re-rank inside. Rows-only check (pytest
+    gates recall@10 ≥ 0.9 vs knn_brute in tests/test_similarity.py)."""
+    from cosmogony_ray.functions.similarity import (
+        broadcast_queries,
+        knn_ivf,
+        train_ivf_centroids,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qref = broadcast_queries(ds, _KNN_QUERY_IDS, "embedding", "vec_id")
+    cref = train_ivf_centroids(ds, n_centroids=32)
+    # nprobe=24/32: the synthetic embeddings are near-uniform; see the
+    # recall-curve note in tests/test_similarity.py::test_knn_ivf_recall
+    return knn_ivf(ds, qref, cref, k=10, nprobe=24)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal span features (stubbed decode, real plumbing) over the
     fixture's interleaved docs — rows-only check."""
@@ -473,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": _q_embedding_dups,
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "user_sessions": _q_user_sessions,
         "media_features": _q_media_features,
     }

@@ -192,3 +192,147 @@ def knn_lsh(
     filtered = ds.map_batches(bucketize, batch_format="pyarrow")
     scored = knn_brute(filtered, queries_ref, k=k, vec_col=vec_col, id_col=id_col)
     return scored
+
+
+def train_ivf_centroids(
+    ds: rd.Dataset,
+    n_centroids: int = 64,
+    sample_rows: int = 8192,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Driver-side spherical k-means over a deterministic sample → broadcast
+    normalized centroid matrix (k, d). The IVF "train" phase: the sample is
+    the first ``sample_rows`` rows in ``id_col`` order (deterministic, no
+    RNG on data), init is every (n/k)-th sample vector, and Lloyd iterations
+    run on the driver — training is O(sample) by design; the corpus itself
+    never leaves the cluster (the assignment phase in ``knn_ivf`` is a
+    distributed map). The classic IVF-Flat layout (Sivic & Zisserman's
+    inverted file; FAISS IVF family)."""
+    rows = []
+    for t in ds.select_columns([id_col, vec_col]).iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        ids = t[id_col].to_pylist()
+        vecs = t[vec_col].to_pylist()
+        rows.extend(zip(ids, vecs))
+        if len(rows) >= sample_rows * 2:
+            break
+    rows.sort()
+    rows = rows[:sample_rows]
+    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for _, v in rows]))
+    k = min(n_centroids, mat.shape[0])
+    step = max(1, mat.shape[0] // k)
+    cent = mat[::step][:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(cent @ mat.T, axis=0)  # (n,)
+        for c in range(k):
+            sel = assign == c
+            if sel.any():
+                v = mat[sel].sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return ray.put(cent)
+
+
+def knn_ivf(
+    ds: rd.Dataset,
+    queries_ref,
+    centroids_ref,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF-Flat ANN: every vector belongs to its nearest centroid's inverted
+    list; a query scores ONLY the lists of its ``nprobe`` closest centroids.
+    → (query_id, vec_id, rank).
+
+    Scale shape: the expensive (nq × candidates) cosine matmul runs only on
+    rows whose cluster is probed by at least one query — the pruning happens
+    BEFORE any query-vector distance computation (one (k_cent × batch)
+    assignment matmul per batch, k_cent ≪ nq·d work), and with a
+    cluster-PARTITIONED corpus layout (write the assignment column +
+    hive-partition by it) the non-probed lists are never even read. Exact
+    cosine re-rank inside the probed lists; recall@10 ≥ 0.9 vs ``knn_brute``
+    asserted in tests/test_similarity.py."""
+    q = ray.get(queries_ref)
+    cent = ray.get(centroids_ref)  # (k_cent, d), normalized
+    qsim = q["mat"] @ cent.T  # (nq, k_cent)
+    npb = min(nprobe, cent.shape[0])
+    probe = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]  # (nq, npb)
+    probed_any = np.zeros(cent.shape[0], dtype=bool)
+    probed_any[probe.ravel()] = True
+    # per-query probe membership matrix (nq, k_cent)
+    pmat = np.zeros((q["mat"].shape[0], cent.shape[0]), dtype=bool)
+    for qi in range(probe.shape[0]):
+        pmat[qi, probe[qi]] = True
+    state_ref = ray.put({"pmat": pmat, "any": probed_any})
+
+    class _IVFScorer:
+        def __init__(self):
+            st = ray.get(state_ref)
+            qq = ray.get(queries_ref)
+            self.cent = ray.get(centroids_ref)
+            self.pmat = st["pmat"]
+            self.any = st["any"]
+            self.qids = qq["ids"]
+            self.qmat = qq["mat"]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+            m = _normalize(_as_matrix(t[vec_col].to_pylist()))
+            assign = np.argmax(self.cent @ m.T, axis=0)  # (nb,)
+            cand = self.any[assign]
+            if not cand.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], type=pa.int64()),
+                        "vec_id": pa.array([], type=pa.int64()),
+                        "cos": pa.array([], type=pa.float64()),
+                    }
+                )
+            ids = ids[cand]
+            m = m[cand]
+            assign = assign[cand]
+            cos = self.qmat @ m.T  # (nq, n_cand)
+            allowed = self.pmat[:, assign]  # (nq, n_cand)
+            cos = np.where(allowed, cos, -np.inf)
+            kk = min(k, cos.shape[1])
+            out_q, out_v, out_c = [], [], []
+            for qi in range(cos.shape[0]):
+                part = np.argpartition(-cos[qi], kk - 1)[:kk]
+                good = part[np.isfinite(cos[qi][part])]
+                out_q.extend([int(self.qids[qi])] * len(good))
+                out_v.extend(ids[good].tolist())
+                out_c.extend(cos[qi][good].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_c, type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        _IVFScorer,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=default_pool(),
+        num_cpus=1,
+    )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "query_id": g["query_id"],
+                "vec_id": g["vec_id"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
