@@ -134,3 +134,69 @@ def test_shipped_rule_corpus_loads_and_is_sane():
     for cc, rs in typer.rules.items():
         assert rs.type_by_level.get("2") == "country", cc
         assert any(v == "city" for v in rs.type_by_level.values()), cc
+
+
+def test_type_batch_vectorized_override_branches(tmp_path):
+    """The vectorized typing kernel (typing.type_batch) must reproduce the
+    per-row rules semantics on its override fast paths: id override, id
+    suppression (explicit null), contained_by scoped ruleset, and the plain
+    level map — all in one batch."""
+    import pyarrow as pa
+
+    from cosmogony_ray.state.country import CountryFinder
+    from cosmogony_ray.state.rules import ZoneTyper
+    from cosmogony_ray.stages.typing import country_arrays, type_batch
+
+    (tmp_path / "xx.yaml").write_text(
+        """
+admin_level:
+  "2": "country"
+  "8": "city"
+overrides:
+  id:
+    relation:
+      "77": "state"
+      "88": null
+  contained_by:
+    relation:
+      "1":
+        admin_level:
+          "8": "city_district"
+"""
+    )
+    typer = ZoneTyper.from_dir(str(tmp_path))
+    finder = CountryFinder({"relation:1": ("XX", 2)})
+    batch = pa.table(
+        {
+            "osm_id": [
+                "relation:1",   # the country itself
+                "relation:10",  # plain level map -> city
+                "relation:77",  # id override -> state
+                "relation:88",  # id suppression -> unknown_level, keeps old
+                "relation:99",  # contained_by 1 at level 8 -> city_district
+                "relation:50",  # no matching level -> unknown_level
+            ],
+            "admin_level": [2, 8, 8, 8, 8, 5],
+            "zone_type": ["suburb", None, None, "suburb", None, None],
+            "country_code": pa.nulls(6, pa.string()),
+            "ancestors": [
+                [],
+                [],
+                ["relation:1"],
+                ["relation:1"],
+                ["relation:1"],
+                ["relation:1"],
+            ],
+        }
+    )
+    out = type_batch(batch, typer, finder, None, country_arrays(finder))
+    got = dict(zip(out["osm_id"].to_pylist(), out["zone_type"].to_pylist()))
+    st = dict(zip(out["osm_id"].to_pylist(), out["type_status"].to_pylist()))
+    cc = dict(zip(out["osm_id"].to_pylist(), out["country_code"].to_pylist()))
+    assert got["relation:1"] == "country" and st["relation:1"] == "ok"
+    assert got["relation:10"] is None and st["relation:10"] == "no_country"
+    assert got["relation:77"] == "state" and st["relation:77"] == "ok"
+    assert got["relation:88"] == "suburb" and st["relation:88"] == "unknown_level"
+    assert got["relation:99"] == "city_district" and st["relation:99"] == "ok"
+    assert got["relation:50"] is None and st["relation:50"] == "unknown_level"
+    assert cc["relation:77"] == "XX" and cc["relation:10"] is None
