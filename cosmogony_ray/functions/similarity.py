@@ -336,3 +336,73 @@ def knn_ivf(
         )
 
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def ivf_write_partitioned(
+    ds: rd.Dataset,
+    centroids_ref,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF inverted-file LAYOUT: assign each vector to its
+    nearest centroid and write hive-partitioned parquet (one directory per
+    cluster). At query time ``knn_ivf_partitioned`` reads ONLY the probed
+    clusters' partitions — the storage-level pruning that makes IVF the ANN
+    scale path (non-probed lists never leave storage), and a resumable
+    layout (a failed build can skip finished partitions)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        cent = ray.get(centroids_ref)
+        m = _normalize(_as_matrix(t[vec_col].to_pylist()))
+        a = np.argmax(cent @ m.T, axis=0).astype(np.int32)
+        return t.append_column("cluster", pa.array(a, type=pa.int32()))
+
+    ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow"
+    ).write_parquet(out_dir, partition_cols=["cluster"])
+
+
+def knn_ivf_partitioned(
+    index_dir: str,
+    queries_ref,
+    centroids_ref,
+    k: int = 10,
+    nprobe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Query an ``ivf_write_partitioned`` layout: read ONLY the probed
+    clusters' partition directories, then exact re-rank (same scorer and
+    tie-breaks as ``knn_ivf``; identical results on the same centroids)."""
+    import os
+
+    q = ray.get(queries_ref)
+    cent = ray.get(centroids_ref)
+    qsim = q["mat"] @ cent.T
+    npb = min(nprobe, cent.shape[0])
+    probe = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]
+    import glob
+
+    wanted = sorted(set(int(c) for c in probe.ravel()))
+    paths = []
+    for c in wanted:
+        # read_parquet with a LIST of paths expects files, not directories
+        paths.extend(
+            sorted(glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet")))
+        )
+    if not paths:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return knn_ivf(
+        ds, queries_ref, centroids_ref, k=k, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col,
+    )

@@ -160,3 +160,35 @@ def test_knn_ivf_recall(ray_session):
     a = approx.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = approx2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ivf_partitioned_layout_matches_in_memory(ray_session, tmp_path):
+    """The hive-partitioned IVF layout must return EXACTLY the in-memory
+    knn_ivf result while reading only the probed partitions."""
+    import os
+
+    import ray.data as rd
+
+    from cosmogony_ray.functions.similarity import (
+        broadcast_queries,
+        ivf_write_partitioned,
+        knn_ivf,
+        knn_ivf_partitioned,
+        train_ivf_centroids,
+    )
+
+    sf = os.environ.get("GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    ds = rd.read_parquet(
+        os.path.join(sf, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qref = broadcast_queries(ds, [0, 1, 2], "embedding", "vec_id")
+    cref = train_ivf_centroids(ds, n_centroids=16)
+    out = str(tmp_path / "ivf_index")
+    ivf_write_partitioned(ds, cref, out)
+    parts = [d for d in os.listdir(out) if d.startswith("cluster=")]
+    assert len(parts) > 1, "layout must actually partition by cluster"
+    mem = knn_ivf(ds, qref, cref, k=10, nprobe=4).to_pandas()
+    disk = knn_ivf_partitioned(out, qref, cref, k=10, nprobe=4).to_pandas()
+    a = mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = disk.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
