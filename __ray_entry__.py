@@ -370,6 +370,42 @@ def _q_knn_lsh(sf_dir: str):
     return knn_lsh(ds, qref, k=10)
 
 
+def _q_rolling_fp_agg(sf_dir: str):
+    """Value-verifiable view of the winnowing kernel: per doc, (min, max,
+    sum) over the kept fingerprints — scalar columns with an exact DuckDB
+    oracle (the polynomial window hash re-expressed in SQL with embedded
+    power literals), pinning the rolling-hash computation end-to-end. The
+    raw list-valued ``rolling_fingerprint`` query stays rows-only."""
+    from cosmogony_ray.functions.textops import rolling_fingerprint
+
+    fp = rolling_fingerprint(_docs_ds(sf_dir))
+
+    def agg(t: pa.Table) -> pa.Table:
+        col = t["fingerprints"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        counts = np.diff(offs)
+        segs = offs[:-1]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fp_min": pa.array(
+                    np.minimum.reduceat(vals, segs) * (counts > 0), type=pa.int64()
+                ),
+                "fp_max": pa.array(
+                    np.maximum.reduceat(vals, segs) * (counts > 0), type=pa.int64()
+                ),
+                "fp_sum": pa.array(
+                    np.add.reduceat(vals, segs) * (counts > 0), type=pa.int64()
+                ),
+            }
+        )
+
+    return fp.map_batches(agg, batch_format="pyarrow")
+
+
 def _q_knn_ivf(sf_dir: str):
     """IVF-Flat ANN (similarity-search scale path, SURVEY §2 extension):
     driver-trained spherical k-means centroids, query scores only its
@@ -488,6 +524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
         "rolling_fingerprint": _q_rolling_fingerprint,
+        "rolling_fingerprint_agg": _q_rolling_fp_agg,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -624,6 +661,41 @@ SELECT user_id,
        COUNT(*)::BIGINT AS n_events
 FROM ordered GROUP BY user_id
 """,
-        # dedup_minhash / dedup_simhash / embedding_dups / rolling_fingerprint /
-        # knn_lsh: deterministic but not SQL-expressible → rows-only checks
+        # the winnowing kernel, value-verified: window-16 polynomial hash
+        # (base 257 mod 2^31-1; power literals embedded), 4 smallest window
+        # hashes per doc, aggregated to scalar (min, max, sum) columns —
+        # same family as functions/textops.rolling_fingerprint. The fixture
+        # corpus is ASCII with len ≥ 48, so ord(substr())==byte and the
+        # short-doc md5 fallback never triggers.
+        "rolling_fingerprint_agg": """
+WITH pw(j, v) AS (
+  VALUES (0, 1079017218), (1, 330081243), (2, 1346595130), (3, 1150007217),
+         (4, 1090750511), (5, 1775709275), (6, 483199522), (7, 1213495441),
+         (8, 623063367), (9, 336663071), (10, 168429323), (11, 67503107),
+         (12, 16974593), (13, 66049), (14, 257), (15, 1)
+),
+starts AS (
+  SELECT doc_id, text, unnest(range(0, length(text) - 15)) AS s
+  FROM documents
+),
+hashes AS (
+  SELECT st.doc_id, st.s,
+         (SUM(ord(substr(st.text, st.s + pw.j + 1, 1))::BIGINT * pw.v::BIGINT) % 2147483647)::BIGINT AS h
+  FROM starts st CROSS JOIN pw
+  GROUP BY st.doc_id, st.s
+),
+kept AS (
+  SELECT doc_id, h,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+  FROM hashes
+)
+SELECT doc_id,
+       MIN(h)::BIGINT AS fp_min,
+       MAX(h)::BIGINT AS fp_max,
+       SUM(h)::BIGINT AS fp_sum
+FROM kept WHERE rn <= 4 GROUP BY doc_id
+""",
+        # dedup_minhash / dedup_simhash / embedding_dups / rolling_fingerprint
+        # (raw list form) / knn_lsh / knn_ivf: deterministic but not
+        # SQL-expressible → rows-only checks
     }
