@@ -14,6 +14,8 @@ and retry-safe."""
 from __future__ import annotations
 
 import hashlib
+import logging
+import os
 
 import numpy as np
 import pandas as pd
@@ -24,6 +26,45 @@ import ray.data as rd
 
 _PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
+_log = logging.getLogger(__name__)
+
+# LSH skew guard: a (band, band_hash) bucket larger than this emits only
+# star pairs (min-doc_id representative × member) instead of all n(n-1)/2
+# pairs. On a boilerplate-heavy corpus one hot bucket can hold 10^5-10^6
+# members; the quadratic emitter would try ~5*10^11 pairs from ONE group.
+# Star pairs keep every member connected to its duplicate component (the
+# downstream use of near-dup pairs is connected-component keep/drop), at
+# n-1 pairs per bucket. Overridable per-deployment via env.
+LSH_MAX_BUCKET = int(os.environ.get("COSMOGONY_LSH_MAX_BUCKET", "256"))
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu_idx(n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Cached upper-triangle index pair for group size n (n ≤ cap)."""
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        got = np.triu_indices(n, k=1)
+        _TRIU_CACHE[n] = (got[0].astype(np.int64), got[1].astype(np.int64))
+        got = _TRIU_CACHE[n]
+    return got
+
+
+def _group_bounds(t: pa.Table, keys: list[str]) -> tuple[pa.Table, np.ndarray, np.ndarray]:
+    """Sort by keys (+ doc_id last key caller-included) and return
+    (sorted_table, group_starts, group_ends) — one vectorized boundary scan,
+    no per-key Python call."""
+    t = t.sort_by([(k, "ascending") for k in keys])
+    n = t.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for k in keys[:-1] if keys[-1] == "doc_id" else keys:
+        arr = t[k].to_numpy(zero_copy_only=False)
+        change[1:] |= arr[1:] != arr[:-1]
+    starts = np.nonzero(change)[0]
+    ends = np.append(starts[1:], n)
+    return t, starts, ends
+
 
 def _norm(texts: pa.Array) -> pa.Array:
     return pc.replace_substring_regex(
@@ -31,12 +72,31 @@ def _norm(texts: pa.Array) -> pa.Array:
     )
 
 
+def _md5_hex_batch(arr: pa.Array) -> list[str]:
+    """md5 hex per string WITHOUT materializing Python strs: slice the
+    Arrow values buffer by offsets (memoryview, zero-copy) and hash bytes
+    directly. md5-of-document is inherently per-row; this removes the
+    to_pylist + str.encode round trip (~2× on sf0.1 docs)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return []
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    buf = arr.buffers()[2]
+    data = memoryview(buf) if buf is not None else memoryview(b"")
+    md5 = hashlib.md5
+    return [md5(data[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(arr))]
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """→ (text_hash, keep_doc_id, n_dups): one row per distinct normalized
     content, keeper = min doc_id."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(s.encode()).hexdigest() for s in _norm(t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]).to_pylist()]
+        fps = _md5_hex_batch(_norm(t[text_col]))
         return pa.table({"doc_id": t["doc_id"], "text_hash": pa.array(fps)})
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
@@ -74,6 +134,43 @@ def _poly_consts(n: int, seed: int = 7) -> np.ndarray:
     return c | np.uint64(1)
 
 
+def _token_hash_positions(
+    texts, hex_chars: int = 15
+) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow-native whitespace tokenizer → (counts, th): per-doc token
+    counts and one u64 hash per token POSITION (duplicates kept, doc order
+    preserved). md5 is paid once per UNIQUE token in the batch (dictionary
+    vocab); ``hex_chars`` md5 hex digits become the u64 (15 for the minhash
+    shingle path, 16 for simhash — kept distinct so round-3 outputs are
+    bit-identical). Shared front half of minhash shingling and simhash."""
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, type=pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ndocs = len(arr)
+    if ndocs == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    splits = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    lens = pc.fill_null(pc.list_value_length(splits), 0).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(splits)
+    keep = pc.not_equal(flat, "")                   # split emits empties at edges
+    kmask = keep.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)[kmask]
+    counts = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+    if int(counts.sum()) == 0:
+        return counts, np.zeros(0, dtype=np.uint64)
+    dic = flat.filter(keep).dictionary_encode()
+    uniq = dic.dictionary.to_pylist()
+    uh = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:hex_chars], 16) for u in uniq),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    th = uh[dic.indices.to_numpy(zero_copy_only=False)]  # u64 hash per token position
+    return counts, th
+
+
 def _token_arrays(texts: list[str], n: int = 3) -> list[np.ndarray]:
     """Word n-gram (shingle) hash sets per doc — sorted-unique u64 arrays.
 
@@ -85,33 +182,14 @@ def _token_arrays(texts: list[str], n: int = 3) -> list[np.ndarray]:
     whole signature stage (_SigFn) went 14.3 s → 0.10 s (~140×);
     tokenisation is Arrow-native (utf8_split_whitespace + dictionary
     vocab), the n-gram hashing a single vector pass."""
-    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
-        texts, type=pa.string()
-    )
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    ndocs = len(arr)
+    counts, th = _token_hash_positions(texts)
+    ndocs = counts.size
     empty = np.array([], dtype=np.uint64)
     if ndocs == 0:
         return []
-    splits = pc.utf8_split_whitespace(pc.utf8_lower(arr))
-    lens = pc.fill_null(pc.list_value_length(splits), 0).to_numpy(zero_copy_only=False)
-    flat = pc.list_flatten(splits)
-    keep = pc.not_equal(flat, "")                   # split emits empties at edges
-    kmask = keep.to_numpy(zero_copy_only=False)
-    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)[kmask]
-    counts = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
     total = int(counts.sum())
     if total == 0:
         return [empty for _ in range(ndocs)]
-    dic = flat.filter(keep).dictionary_encode()
-    uniq = dic.dictionary.to_pylist()
-    uh = np.fromiter(
-        (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniq),
-        dtype=np.uint64,
-        count=len(uniq),
-    )
-    th = uh[dic.indices.to_numpy(zero_copy_only=False)]  # u64 hash per token position
     offs = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(counts, out=offs[1:])
     C = _poly_consts(n)
@@ -204,12 +282,13 @@ def minhash_lsh_pairs(
     groupby buckets → verified true Jaccard ≥ threshold_pct/100).
     → (doc_a, doc_b), doc_a < doc_b.
 
-    Scale shape end-to-end: banded-LSH blocking, pair dedup, then the
-    verify stage joins candidate pairs back to the text column (two hash
-    joins) and re-tokenizes INSIDE the stage — nothing corpus-sized is ever
-    collected on the driver."""
+    Scale shape end-to-end: banded-LSH blocking (bucket size CAPPED at
+    ``LSH_MAX_BUCKET`` — star pairs above the cap, the standard LSH skew
+    guard), pair dedup, then the verify stage joins candidate pairs back to
+    the text column (two hash joins) and re-tokenizes INSIDE the stage —
+    nothing corpus-sized is ever collected on the driver."""
     from .joins import hash_join
-    from .shuffle import grouped_map
+    from .shuffle import partitioned_map
 
     a, b = _perm_params(num_perms)
     rows = num_perms // bands
@@ -219,22 +298,49 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
     )
 
-    def cand(key: tuple, group: pa.Table) -> pa.Table | None:
-        ids = sorted(group["doc_id"].to_pylist())
-        if len(ids) < 2:
+    def cand_partition(part: pa.Table) -> pa.Table | None:
+        """All candidate pairs of one hash partition in one vectorized pass:
+        sort by (band, band_hash, doc_id), boundary-scan the groups, emit
+        cached-triu pairs per small group and star pairs (min-doc_id rep ×
+        member) for groups above LSH_MAX_BUCKET."""
+        if part.num_rows == 0:
             return None
-        da, db = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                da.append(ids[i])
-                db.append(ids[j])
+        part, starts, ends = _group_bounds(part, ["band", "band_hash", "doc_id"])
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        capped = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > LSH_MAX_BUCKET:
+                capped += 1
+                out_a.append(np.full(m - 1, ids[s], dtype=np.int64))
+                out_b.append(ids[s + 1 : e])
+            else:
+                ia, jb = _triu_idx(m)
+                out_a.append(ids[s + ia])
+                out_b.append(ids[s + jb])
+        if capped:
+            _log.warning(
+                "minhash_lsh_pairs: %d bucket(s) over LSH_MAX_BUCKET=%d capped "
+                "to star pairs in this partition",
+                capped,
+                LSH_MAX_BUCKET,
+            )
+        if not out_a:
+            return None
         return pa.table(
-            {"doc_a": pa.array(da, type=pa.int64()), "doc_b": pa.array(db, type=pa.int64())},
+            {
+                "doc_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            },
             schema=_PAIR_SCHEMA,
         )
 
-    cands = grouped_map(
-        sig_ds, ["band", "band_hash"], cand, empty_schema=_PAIR_SCHEMA
+    cands = partitioned_map(
+        sig_ds, ["band", "band_hash"], cand_partition, empty_schema=_PAIR_SCHEMA
     )
     pairs = _dedup_pair_ds(cands)
     docs_a = ds.map_batches(
@@ -312,41 +418,25 @@ def simhash_pairs(
     verified by true hamming distance. → (doc_a, doc_b, hamming)."""
 
     def sig(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        texts = t[text_col].to_pylist()
-        # tokenize once; md5 only per UNIQUE token in the batch; the ±1 bit
-        # accumulation is one reduceat over the flat token-bit matrix (the
-        # per-token Python loop cost ~1 ms/doc)
-        flat_tokens: list[str] = []
-        counts = np.empty(len(ids), dtype=np.int64)
-        for i, s in enumerate(texts):
-            toks = [x for x in (s or "").lower().split() if x]
-            counts[i] = len(toks)
-            flat_tokens.extend(toks)
-        vocab: dict[str, int] = {}
-        tok_idx = np.empty(len(flat_tokens), dtype=np.int64)
-        for j, tok in enumerate(flat_tokens):
-            k = vocab.get(tok)
-            if k is None:
-                k = len(vocab)
-                vocab[tok] = k
-            tok_idx[j] = k
-        hs = np.fromiter(
-            (int(hashlib.md5(tok.encode()).hexdigest()[:16], 16) for tok in vocab),
-            dtype=np.uint64,
-            count=len(vocab),
-        )
+        n = t.num_rows
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        # Arrow-native tokenizer shared with minhash (round-4: replaces the
+        # per-doc Python split loop, ~1 ms/doc); md5 once per UNIQUE token
+        # (16 hex chars → full 64 bits, matching the round-3 outputs). The
+        # ±1 bit accumulation is one reduceat over the flat token-bit matrix.
+        counts, th = _token_hash_positions(t[text_col], hex_chars=16)
         shifts = np.arange(64, dtype=np.uint64)
-        n = len(ids)
         acc = np.zeros((n, 64), dtype=np.int64)
         nonzero = counts > 0
-        if tok_idx.size and len(vocab):
+        if th.size:
+            # hash once per unique u64 in the batch, expand via inverse map
+            uh, inv = np.unique(th, return_inverse=True)
             vb = (
-                ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+                ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
                 * 2
                 - 1
             )
-            contrib = vb[tok_idx]  # (flat, 64) of ±1
+            contrib = vb[inv]  # (flat, 64) of ±1
             # reduceat start offsets for the NON-EMPTY docs only (a
             # zero-length segment would re-read the next doc's first row)
             ne_counts = counts[nonzero]
@@ -355,20 +445,19 @@ def simhash_pairs(
         sig64 = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(
             axis=1, dtype=np.uint64
         )
-        out_band, out_key, out_id, out_sig = [], [], [], []
-        for i, d in enumerate(ids):
-            sh = int(sig64[i])
-            for bi in range(4):
-                out_band.append(bi)
-                out_key.append((sh >> (16 * bi)) & 0xFFFF)
-                out_id.append(d)
-                out_sig.append(sh)
+        # vectorized band explode: 4 × 16-bit keys per doc
+        bands4 = np.arange(4, dtype=np.uint64)
+        keys = (sig64[:, None] >> (bands4[None, :] * np.uint64(16))) & np.uint64(
+            0xFFFF
+        )
         return pa.table(
             {
-                "band": pa.array(out_band, type=pa.int32()),
-                "key": pa.array(out_key, type=pa.int64()),
-                "doc_id": pa.array(out_id, type=pa.int64()),
-                "sig": pa.array(np.array(out_sig, dtype=np.uint64).astype(np.int64)),
+                "band": pa.array(
+                    np.tile(bands4.astype(np.int32), n), type=pa.int32()
+                ),
+                "key": pa.array(keys.reshape(-1).astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, 4), type=pa.int64()),
+                "sig": pa.array(np.repeat(sig64.astype(np.int64), 4)),
             }
         )
 
@@ -378,32 +467,70 @@ def simhash_pairs(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
     )
 
-    def cand(key_: tuple, group: pa.Table) -> pa.Table | None:
-        rows = sorted(zip(group["doc_id"].to_pylist(), group["sig"].to_pylist()))
-        da, db, hm = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                if rows[i][0] == rows[j][0]:
-                    continue
-                h = bin((rows[i][1] ^ rows[j][1]) & ((1 << 64) - 1)).count("1")
-                if h <= max_hamming:
-                    da.append(rows[i][0])
-                    db.append(rows[j][0])
-                    hm.append(h)
-        if not da:
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        """Vectorized popcount of a uint64 array (any shape): view each u64
+        as 8 bytes, unpack bits, sum."""
+        b = np.unpackbits(x.reshape(x.shape + (1,)).view(np.uint8), axis=-1)
+        return b.sum(axis=-1, dtype=np.int64)
+
+    def cand_partition(part: pa.Table) -> pa.Table | None:
+        """Per-partition vectorized candidate pass with the same skew guard
+        as minhash: groups over LSH_MAX_BUCKET verify members against the
+        min-doc_id representative only (star), small groups via a full
+        pairwise XOR-popcount matrix."""
+        if part.num_rows == 0:
+            return None
+        part, starts, ends = _group_bounds(part, ["band", "key", "doc_id"])
+        ids = part["doc_id"].to_numpy(zero_copy_only=False)
+        sig_arr = part["sig"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        capped = 0
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            gid = ids[s:e]
+            gsig = sig_arr[s:e]
+            if m > LSH_MAX_BUCKET:
+                capped += 1
+                hm = _popcount64(gsig[1:] ^ gsig[0])
+                keep = (hm <= max_hamming) & (gid[1:] != gid[0])
+                out_a.append(np.full(int(keep.sum()), gid[0], dtype=np.int64))
+                out_b.append(gid[1:][keep])
+                out_h.append(hm[keep].astype(np.int32))
+            else:
+                ia, jb = _triu_idx(m)
+                hm = _popcount64(gsig[ia] ^ gsig[jb])
+                keep = (hm <= max_hamming) & (gid[ia] != gid[jb])
+                out_a.append(gid[ia][keep])
+                out_b.append(gid[jb][keep])
+                out_h.append(hm[keep].astype(np.int32))
+        if capped:
+            _log.warning(
+                "simhash_pairs: %d bucket(s) over LSH_MAX_BUCKET=%d capped to "
+                "star verification in this partition",
+                capped,
+                LSH_MAX_BUCKET,
+            )
+        if not out_a:
+            return None
+        da = np.concatenate(out_a)
+        if da.size == 0:
             return None
         return pa.table(
             {
                 "doc_a": pa.array(da, type=pa.int64()),
-                "doc_b": pa.array(db, type=pa.int64()),
-                "hamming": pa.array(hm, type=pa.int32()),
+                "doc_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), type=pa.int32()),
             },
             schema=_SIM_SCHEMA,
         )
 
-    from .shuffle import distinct_rows, grouped_map
+    from .shuffle import distinct_rows, partitioned_map
 
-    cands = grouped_map(sigs, ["band", "key"], cand, empty_schema=_SIM_SCHEMA)
+    cands = partitioned_map(sigs, ["band", "key"], cand_partition, empty_schema=_SIM_SCHEMA)
     return distinct_rows(cands, ["doc_a", "doc_b"])
 
 

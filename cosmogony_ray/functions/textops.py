@@ -105,10 +105,12 @@ def fingerprint_md5(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     collapsed — the exact-dedup key (DuckDB-matchable)."""
 
     def fn(t: pa.Table) -> pa.Table:
+        from .dedup import _md5_hex_batch
+
         norm = pc.replace_substring_regex(
             pc.utf8_trim_whitespace(pc.utf8_lower(t[text_col])), r"\s+", " "
         )
-        fps = [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+        fps = _md5_hex_batch(norm)
         return pa.table(
             {"doc_id": t["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
         )
