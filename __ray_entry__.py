@@ -128,7 +128,9 @@ def _q_geotag_docs(sf_dir: str):
 
     cosmo = _cosmo()
     if "zindex" not in _CACHE:
-        _CACHE["zindex"] = build_zone_index(cosmo.zones, _CACHE["cfg"])
+        _CACHE["zindex"] = build_zone_index(
+            cosmo.zones, _CACHE["cfg"], pack_ref=cosmo.geom_pack_ref
+        )
     tagged = geotag_docs(_docs_with_points(sf_dir), _CACHE["zindex"], _CACHE["cfg"])
 
     def flat(t: pa.Table) -> pa.Table:

@@ -168,7 +168,7 @@ def run_bench() -> dict:
         .materialize()
     )
 
-    idx_ref = build_zone_index(cosmo.zones, cfg)
+    idx_ref = build_zone_index(cosmo.zones, cfg, pack_ref=cosmo.geom_pack_ref)
     # warm the FULL actor pool untimed: enough leading blocks to give every
     # actor at least one task (blocks = NUM_CPUS*4, pool = NUM_CPUS-2).
     # n_docs is arithmetic (synthesis is deterministic): count() spins an

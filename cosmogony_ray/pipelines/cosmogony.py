@@ -88,6 +88,10 @@ class CosmogonyResult:
     zones: rd.Dataset          # final (post-cleanup) zones
     edges: rd.Dataset          # inclusion edge table (child, parent)
     stats: dict
+    # broadcast GeomPack ObjectRef (parse-once edge arrays, built during the
+    # inclusion phase) — downstream consumers (geotag index) reuse it so a
+    # build parses each boundary WKB exactly once (VERDICT r3 task 2)
+    geom_pack_ref: object | None = None
 
 
 def _build_ctx(cfg: EngineConfig):
@@ -148,7 +152,8 @@ def _build_inner(
 
     import ray
 
-    from ..stages.zone_state import collect_zone_state
+    from ..stages.inclusion import build_geom_pack
+    from ..stages.zone_state import collect_country_rows
     from ..state.country import CountryFinder
 
     _dbg = bool(os.environ.get("COSMOGONY_RAY_TIMINGS"))
@@ -163,15 +168,18 @@ def _build_inner(
     zones = assemble_zones(relations, ways, nodes, cfg).materialize()
     _tick("assemble")
 
-    state = collect_zone_state(zones)  # ONE driver pass for all broadcast maps
+    # thin driver pull: only (osm_id, ISO tag, admin_level) — never WKB/tags
+    country_rows = collect_country_rows(zones)
     _tick("zone_state")
-    # geometry broadcast is the edge-array GeomPack, built distributed
-    # inside find_inclusion_edges (parse-once; see build_geom_pack)
-    edges = find_inclusion_edges(zones, cfg).materialize()
+    # geometry broadcast is the edge-array GeomPack, built distributed ONCE
+    # per build and shared by the inclusion join AND the geotag zone index
+    # (exposed on the result as geom_pack_ref)
+    pack_ref = build_geom_pack(zones, cfg)
+    edges = find_inclusion_edges(zones, cfg, pack_ref=pack_ref).materialize()
     _tick("inclusion")
 
     typer = ZoneTyper.from_dir(cfg.rules_dir)
-    finder = CountryFinder.from_zone_rows(state.country_rows, typer)
+    finder = CountryFinder.from_zone_rows(country_rows, typer)
 
     from ..functions.arrowtools import materialized_count
 
@@ -215,8 +223,11 @@ def _build_inner(
             from ..stages.hierarchy import zone_meta_from_table
             from ..stages.labels import driver_label_table
             from ..stages.typing import type_zones_table
+            from ..stages.zone_state import collect_label_state
 
-            ztbl = state.table
+            # fused fast path: pull the label/typing columns (thin — no
+            # boundary WKB ever reaches the driver on any path)
+            ztbl = collect_label_state(zones)
             aidx = (
                 pc.index_in(
                     ztbl["osm_id"], value_set=anc_tbl["osm_id"].combine_chunks()
@@ -304,7 +315,9 @@ def _build_inner(
             else:
                 stats = {}
             _tick("stats")
-            return CosmogonyResult(zones=final, edges=edges, stats=stats)
+            return CosmogonyResult(
+                zones=final, edges=edges, stats=stats, geom_pack_ref=pack_ref
+            )
         anc_ref = ray.put(anc_tbl)
         zones_anc = attach_ancestors_broadcast(zones, anc_ref)
         typed = type_zones(zones_anc, cfg, finder, typer=typer).materialize()
@@ -366,4 +379,6 @@ def _build_inner(
     _tick("final")
     stats = compute_stats(final, typed) if with_stats else {}
     _tick("stats")
-    return CosmogonyResult(zones=final, edges=edges, stats=stats)
+    return CosmogonyResult(
+        zones=final, edges=edges, stats=stats, geom_pack_ref=pack_ref
+    )

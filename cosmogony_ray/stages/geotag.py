@@ -34,7 +34,6 @@ import ray.data as rd
 from ..config import EngineConfig
 from ..geom.cells import GridCells
 from ..geom.predicates import PreparedPolygon
-from ..geom.wkb import multipolygon_from_wkb
 from ..model import ZONE_TYPE_RANK
 
 _NUM = r"-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
@@ -48,8 +47,19 @@ TILE_T = pa.struct(
 
 class ZoneIndexData:
     """Numpy-friendly zone index: covering-cell dict + per-zone metadata.
-    Built once on the driver from the final zones table (zone side is small;
-    SURVEY §7.0), broadcast via ray.put."""
+    Built once from the GeomPack (boundaries parsed DISTRIBUTED, exactly
+    once per build — see ``stages/inclusion.build_geom_pack``) plus a thin
+    metadata pull; broadcast via ray.put. Round-4 rework (VERDICT r3 task 2):
+    the old ``from_zones`` iterated ``to_pylist()`` rows on the driver and
+    re-parsed every boundary WKB single-threaded — the third parse of the
+    same geometry per build. ``from_pack`` is fully vectorized and touches
+    no WKB at all; geometry enters only as pack edge-array slices."""
+
+    # zones with more edges than this stay on the stripe-indexed prepared
+    # path (their edges dominate total vertex count; exploding them into the
+    # flat pair kernel would blow pair×edge memory) — the flat kernel serves
+    # the numerous small leaf zones where per-call Python overhead dominated
+    FLAT_MAX_EDGES = 4096
 
     def __init__(self, cfg: EngineConfig):
         self.cells = cfg.cells()
@@ -59,84 +69,149 @@ class ZoneIndexData:
         self.clon: np.ndarray | None = None
         self.clat: np.ndarray | None = None
         self.admin: np.ndarray | None = None
-        self.wkb: list[bytes | None] = []
+        self.wkb: list[bytes | None] = []   # probe/synthetic path only
         self.cell_map: dict[int, np.ndarray] = {}
 
     @classmethod
-    def from_zones(cls, zones: rd.Dataset, cfg: EngineConfig) -> "ZoneIndexData":
+    def from_pack(
+        cls, pack: dict, meta: pa.Table, cfg: EngineConfig
+    ) -> "ZoneIndexData":
+        """Vectorized index build from the broadcast GeomPack + thin zone
+        metadata (osm_id, zone_type, area, center_lon/lat, minx..maxy — NO
+        boundary_wkb). Pack rows are matched by osm_id; meta rows absent
+        from the pack (no/unparseable boundary) get zero edges and fall to
+        the kNN path, matching the old per-row semantics. The edge arrays
+        are shared (zero-copy references) with the pack."""
         self = cls(cfg)
-        ranks, areas, clons, clats, admins = [], [], [], [], []
-        bbs: list[tuple[float, float, float, float] | None] = []
-        tmp_cells: dict[int, list[int]] = {}
-        cols = [
-            "osm_id", "zone_type", "area", "center_lon", "center_lat",
-            "boundary_wkb", "minx", "miny", "maxx", "maxy",
-        ]
-        for b in zones.select_columns(cols).iter_batches(
-            batch_size=2048, batch_format="pyarrow"
+        ids_arr = meta["osm_id"]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        self.ids = ids_arr.to_pylist()
+        n = len(self.ids)
+
+        def _f64(col: str) -> np.ndarray:
+            return meta[col].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        # rank: ~10 distinct zone_type values → dictionary-encode and map
+        zt = meta["zone_type"]
+        if isinstance(zt, pa.ChunkedArray):
+            zt = zt.combine_chunks()
+        ztd = zt.dictionary_encode()
+        dflt = len(ZONE_TYPE_RANK)
+        per_val = np.array(
+            [ZONE_TYPE_RANK.get(v, dflt) for v in ztd.dictionary.to_pylist()]
+            or [dflt],
+            dtype=np.int16,
+        )
+        code = (
+            pc.fill_null(ztd.indices, -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        self.rank = np.where(code >= 0, per_val[np.maximum(code, 0)], dflt).astype(
+            np.int16
+        )
+        self.admin = (
+            pc.fill_null(pc.not_equal(zt, "non_administrative"), False)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        self.area = np.nan_to_num(_f64("area"), nan=0.0)
+        clon, clat = _f64("center_lon"), _f64("center_lat")
+        minx, miny = _f64("minx"), _f64("miny")
+        maxx, maxy = _f64("maxx"), _f64("maxy")
+        use_bb = ~np.isfinite(clon) & np.isfinite(minx)
+        self.clon = np.where(use_bb, (minx + maxx) / 2.0, clon)
+        self.clat = np.where(use_bb, (miny + maxy) / 2.0, clat)
+
+        # pack row per index row (-1 = no parsed boundary)
+        pk = (
+            pc.index_in(ids_arr, value_set=pack["osm_id"])
+            .fill_null(-1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        has = pk >= 0
+        off = pack["off"]
+        pk0 = np.maximum(pk, 0)
+        self.estart = np.where(has, off[pk0], 0).astype(np.int64)
+        self.ecnt = np.where(has, off[pk0 + 1] - off[pk0], 0).astype(np.int64)
+        self.big = self.ecnt > self.FLAT_MAX_EDGES
+        self.ex1, self.ey1 = pack["x1"], pack["y1"]
+        self.ex2, self.ey2 = pack["x2"], pack["y2"]
+        # zone bbox: the metadata bbox when present (as before); the parsed
+        # pack bbox covers the wkb-without-bbox edge case
+        self.bminx = np.full(n, np.nan)
+        self.bminy = np.full(n, np.nan)
+        self.bmaxx = np.full(n, np.nan)
+        self.bmaxy = np.full(n, np.nan)
+        use_meta = has & np.isfinite(minx)
+        for dst, src in (
+            ("bminx", minx), ("bminy", miny), ("bmaxx", maxx), ("bmaxy", maxy),
         ):
-            for row in b.to_pylist():
-                i = len(self.ids)
-                self.ids.append(row["osm_id"])
-                rank = ZONE_TYPE_RANK.get(row["zone_type"], len(ZONE_TYPE_RANK))
-                ranks.append(rank)
-                areas.append(row["area"] if row["area"] is not None else 0.0)
-                admins.append(
-                    row["zone_type"] is not None
-                    and row["zone_type"] != "non_administrative"
+            getattr(self, dst)[use_meta] = src[use_meta]
+        use_pack = has & ~np.isfinite(minx)
+        if use_pack.any():
+            for dst, key in (
+                ("bminx", "bminx"), ("bminy", "bminy"),
+                ("bmaxx", "bmaxx"), ("bmaxy", "bmaxy"),
+            ):
+                getattr(self, dst)[use_pack] = pack[key][pk[use_pack]]
+
+        # covering-cell inverted index, vectorized (same helpers as the
+        # inclusion join); registered zones = boundary + metadata bbox,
+        # identical to the old per-row registration rule
+        from .inclusion import _expand_cells, _grid_arrays
+
+        self.cell_map = {}
+        sel = np.nonzero(use_meta)[0]
+        if sel.size:
+            own_li, ix0s, iy0s, nxs, counts = _grid_arrays(
+                self.cells, minx[sel], miny[sel], maxx[sel], maxy[sel]
+            )
+            cparts, zparts = [], []
+            for li, r in enumerate(self.cells.ladder):
+                s2 = np.nonzero(own_li == li)[0]
+                if s2.size == 0:
+                    continue
+                cell, zrep = _expand_cells(
+                    self.cells, (li, s2), r, ix0s, iy0s, nxs, counts
                 )
-                wkb = row["boundary_wkb"]
-                self.wkb.append(wkb)
-                if row["center_lon"] is not None:
-                    clons.append(row["center_lon"])
-                    clats.append(row["center_lat"])
-                elif row["minx"] is not None:
-                    clons.append((row["minx"] + row["maxx"]) / 2.0)
-                    clats.append((row["miny"] + row["maxy"]) / 2.0)
-                else:
-                    clons.append(np.nan)
-                    clats.append(np.nan)
-                if wkb is not None and row["minx"] is not None:
-                    bbox = (row["minx"], row["miny"], row["maxx"], row["maxy"])
-                    bbs.append(bbox)
-                    res = self.cells.cover_res_for_bbox(bbox)
-                    for c in self.cells.cover_bbox(bbox, res):
-                        tmp_cells.setdefault(int(c), []).append(i)
-                else:
-                    bbs.append(None)
-        self._build_flat_edges(bbs)
-        self.rank = np.array(ranks, dtype=np.int16)
-        self.area = np.array(areas, dtype=np.float64)
-        self.clon = np.array(clons, dtype=np.float64)
-        self.clat = np.array(clats, dtype=np.float64)
-        self.admin = np.array(admins, dtype=bool)
+                cparts.append(cell)
+                zparts.append(sel[zrep])
+            if cparts:
+                allc = np.concatenate(cparts)
+                allz = np.concatenate(zparts).astype(np.int32)
+                order = np.argsort(allc, kind="stable")
+                sc, sz = allc[order], allz[order]
+                uniq, starts = np.unique(sc, return_index=True)
+                ends = np.append(starts[1:], sc.size)
+                self.cell_map = {
+                    int(uniq[i]): sz[starts[i] : ends[i]] for i in range(uniq.size)
+                }
+
         # permutation rank of osm_id in sorted order → numeric tie-break key
-        order = sorted(range(len(self.ids)), key=lambda i: self.ids[i])
-        self.id_rank = np.empty(len(self.ids), dtype=np.int64)
-        for r, i in enumerate(order):
-            self.id_rank[i] = r
-        self.cell_map = {c: np.array(v, dtype=np.int32) for c, v in tmp_cells.items()}
+        order_np = pc.sort_indices(ids_arr).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        self.id_rank = np.empty(n, dtype=np.int64)
+        self.id_rank[order_np] = np.arange(n, dtype=np.int64)
         # kNN candidate set: admin zones with a finite centroid, SORTED by
         # osm_id so a first-occurrence argmin is the deterministic tie-break
-        ok = np.nonzero(self.admin & np.isfinite(self.clon))[0]
-        order = sorted(ok, key=lambda i: self.ids[i])
-        self.knn_idx = np.array(order, dtype=np.int64)
+        okm = self.admin & np.isfinite(self.clon)
+        self.knn_idx = order_np[okm[order_np]]
         self.knn_lon = self.clon[self.knn_idx]
         self.knn_lat = self.clat[self.knn_idx]
         self._build_knn_grid()
         return self
 
-    # zones with more edges than this stay on the stripe-indexed prepared
-    # path (their edges dominate total vertex count; exploding them into the
-    # flat pair kernel would blow pair×edge memory) — the flat kernel serves
-    # the numerous small leaf zones where per-call Python overhead dominated
-    FLAT_MAX_EDGES = 4096
-
     def _build_flat_edges(self, bbs=None) -> None:
-        """Concatenated per-zone edge arrays + bbox arrays for the one-shot
-        multi-zone PIP kernel (``GeotagActor._containing_zone``). Numpy
-        arrays broadcast zero-copy through the object store. ``bbs`` (zone
-        bboxes) is derived from the decoded geometry when not supplied."""
+        """Synthetic/probe path only (``self.wkb`` populated by hand, e.g.
+        ``scripts/geotag_scale_probe.py``): parse the WKB list into the same
+        estart/ecnt/flat-edge layout ``from_pack`` produces. Production
+        builds never take this path — their geometry arrives pre-parsed in
+        the GeomPack."""
+        from ..geom.predicates import PreparedPolygon as _PP
         from ..geom.wkb import multipolygon_from_wkb as _from_wkb
 
         n = len(self.ids)
@@ -144,41 +219,32 @@ class ZoneIndexData:
         self.bminy = np.full(n, np.nan)
         self.bmaxx = np.full(n, np.nan)
         self.bmaxy = np.full(n, np.nan)
-        eoff = np.zeros(n + 1, dtype=np.int64)
+        self.estart = np.zeros(n, dtype=np.int64)
+        self.ecnt = np.zeros(n, dtype=np.int64)
         self.big = np.zeros(n, dtype=bool)
         xs1, ys1, xs2, ys2 = [], [], [], []
         total = 0
         for i in range(n):
             wkb = self.wkb[i]
             if wkb is None:
-                eoff[i + 1] = total
                 continue
             try:
-                mp = _from_wkb(wkb)
+                p = _PP(_from_wkb(wkb))
             except Exception:
-                eoff[i + 1] = total
                 continue
             if bbs is not None and bbs[i] is not None:
                 bb = bbs[i]
             else:
-                allx = np.concatenate([r[:, 0] for rings in mp for r in rings])
-                ally = np.concatenate([r[:, 1] for rings in mp for r in rings])
-                bb = (allx.min(), ally.min(), allx.max(), ally.max())
+                bb = p.bbox
             self.bminx[i], self.bminy[i], self.bmaxx[i], self.bmaxy[i] = bb
-            nedge = sum(r.shape[0] - 1 for rings in mp for r in rings)
-            if nedge > self.FLAT_MAX_EDGES:
-                self.big[i] = True
-                eoff[i + 1] = total
-                continue
-            for rings in mp:
-                for ring in rings:
-                    xs1.append(ring[:-1, 0])
-                    ys1.append(ring[:-1, 1])
-                    xs2.append(ring[1:, 0])
-                    ys2.append(ring[1:, 1])
-            total += nedge
-            eoff[i + 1] = total
-        self.eoff = eoff
+            xs1.append(p.x1)
+            ys1.append(p.y1)
+            xs2.append(p.x2)
+            ys2.append(p.y2)
+            self.estart[i] = total
+            self.ecnt[i] = p.x1.size
+            total += p.x1.size
+            self.big[i] = p.x1.size > self.FLAT_MAX_EDGES
         if xs1:
             self.ex1 = np.ascontiguousarray(np.concatenate(xs1))
             self.ey1 = np.ascontiguousarray(np.concatenate(ys1))
@@ -248,13 +314,20 @@ class GeotagActor:
         self.prepared: dict[int, PreparedPolygon] = {}
 
     def _prep(self, zi: int) -> PreparedPolygon | None:
+        """Prepared geometry for a (big) zone from its flat edge slice — no
+        WKB parse anywhere in the actor (the slice is zero-copy into the
+        broadcast index's edge arrays; the stripe index builds lazily)."""
         p = self.prepared.get(zi)
         if p is None:
-            wkb = self.idx.wkb[zi]
-            if wkb is None:
+            idx = self.idx
+            s, c = int(idx.estart[zi]), int(idx.ecnt[zi])
+            if c <= 0:
                 return None
             try:
-                p = PreparedPolygon(multipolygon_from_wkb(wkb))
+                p = PreparedPolygon.from_edges(
+                    idx.ex1[s : s + c], idx.ey1[s : s + c],
+                    idx.ex2[s : s + c], idx.ey2[s : s + c],
+                )
             except Exception:
                 return None
             self.prepared[zi] = p
@@ -317,7 +390,7 @@ class GeotagActor:
         within = np.arange(T, dtype=np.int64) - np.repeat(
             np.cumsum(cntc) - cntc, cntc
         )
-        ei = np.repeat(idx.eoff[pzc], cntc) + within
+        ei = np.repeat(idx.estart[pzc], cntc) + within
         ex1, ey1, ex2, ey2 = idx.ex1[ei], idx.ey1[ei], idx.ex2[ei], idx.ey2[ei]
         qx = lon[ppc][pr]
         qy = lat[ppc][pr]
@@ -389,7 +462,7 @@ class GeotagActor:
         hit_zone: list[np.ndarray] = []
         bigm = idx.big[pz]
         fpp, fpz = pp[~bigm], pz[~bigm]
-        cnt = idx.eoff[fpz + 1] - idx.eoff[fpz]
+        cnt = idx.ecnt[fpz]
         nzm = cnt > 0
         fpp, fpz, cnt = fpp[nzm], fpz[nzm], cnt[nzm]
         csum = np.cumsum(cnt)
@@ -657,9 +730,90 @@ class GeotagActor:
         return batch.append_column("tiles", tiles)
 
 
-def build_zone_index(zones: rd.Dataset, cfg: EngineConfig):
-    """Broadcast-ready zone index (ray.put once)."""
-    return ray.put(ZoneIndexData.from_zones(zones, cfg))
+_META_COLS = [
+    "osm_id", "zone_type", "area", "center_lon", "center_lat",
+    "minx", "miny", "maxx", "maxy",
+]
+
+
+def build_zone_index(zones: rd.Dataset, cfg: EngineConfig, pack_ref=None):
+    """Broadcast-ready zone index (ray.put once).
+
+    Geometry comes from the GeomPack: pass the build's ``pack_ref``
+    (``CosmogonyResult.geom_pack_ref``) to reuse the inclusion join's
+    parse — ONE WKB parse per zone per build. Zones carrying a boundary
+    that is absent from the supplied pack (voronoi-generated zones are
+    created AFTER the build pack) are parsed distributed as a small delta
+    pack and merged. With ``pack_ref=None`` the pack is built here
+    (distributed map_batches parse — never a driver row loop).
+
+    Pack rows are keyed by osm_id; the voronoi base/generated osm_id
+    collision is safe because base place-node zones never carry a
+    boundary (boundaries come from relations), so a generated zone's id
+    either misses the pack (delta-parsed) or uniquely names its own
+    relation boundary."""
+    import pyarrow.compute as _pc
+
+    from .inclusion import build_geom_pack
+
+    if pack_ref is None:
+        pack_ref = build_geom_pack(zones, cfg)
+    pack = ray.get(pack_ref)
+
+    def thin_meta(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in _META_COLS}
+        cols["has_wkb"] = _pc.is_valid(t["boundary_wkb"])
+        return pa.table(cols)
+
+    from ..functions.arrowtools import materialized_table
+
+    meta = materialized_table(
+        zones.map_batches(thin_meta, batch_format="pyarrow")
+    )
+    if meta.num_rows:
+        pk = _pc.index_in(meta["osm_id"], value_set=pack["osm_id"])
+        missing = _pc.and_(meta["has_wkb"], _pc.is_null(pk))
+        miss_ids = meta["osm_id"].filter(missing)
+        if len(miss_ids):
+            pack = _merge_delta_pack(pack, zones, miss_ids, cfg)
+    return ray.put(ZoneIndexData.from_pack(pack, meta, cfg))
+
+
+def _merge_delta_pack(pack: dict, zones: rd.Dataset, miss_ids, cfg) -> dict:
+    """Parse ONLY the pack-missing zones (distributed) and concatenate
+    their edge arrays onto the pack (driver-side numpy concat — delta is
+    voronoi-scale, not corpus-scale)."""
+    import pyarrow.compute as _pc
+
+    from .inclusion import build_geom_pack
+
+    if isinstance(miss_ids, pa.ChunkedArray):
+        miss_ids = miss_ids.combine_chunks()
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            _pc.fill_null(_pc.is_in(t["osm_id"], value_set=miss_ids), False)
+        )
+
+    delta_ref = build_geom_pack(
+        zones.map_batches(keep, batch_format="pyarrow"), cfg
+    )
+    delta = ray.get(delta_ref)
+    if len(delta["osm_id"]) == 0:
+        return pack
+    base_edges = pack["x1"].size
+    merged = {
+        "osm_id": pa.concat_arrays(
+            [pack["osm_id"].combine_chunks() if isinstance(pack["osm_id"], pa.ChunkedArray) else pack["osm_id"],
+             delta["osm_id"].combine_chunks() if isinstance(delta["osm_id"], pa.ChunkedArray) else delta["osm_id"]]
+        ),
+        "off": np.concatenate([pack["off"], delta["off"][1:] + base_edges]),
+    }
+    for k in ("x1", "y1", "x2", "y2", "bminx", "bminy", "bmaxx", "bmaxy", "area"):
+        merged[k] = np.concatenate([pack[k], delta[k]])
+    # bcell/bzone are inclusion-join state; the geotag index builds its own
+    # covering from bboxes, so the merged pack omits them
+    return merged
 
 
 def geotag_docs(

@@ -1,12 +1,22 @@
-"""One-pass driver collection of all broadcast zone-side state.
+"""Driver collection of broadcast zone-side state — THIN pulls only.
 
-Operates on the MATERIALIZED zones table fetched straight from the object
-store (`materialized_table`) — no streaming-executor run, no per-row Python.
+Round-4 rework (VERDICT r3 task 3): the old ``collect_zone_state`` pulled the
+FULL zones table — boundary WKB and tags maps included — to the driver
+unconditionally, even on the distributed hierarchy path that only needs
+three thin columns for the country finder. At the 10⁶-zone planet design
+point that is multi-GB of WKB in the driver heap for nothing. Now:
 
-Geometry is kept as an **Arrow table**, not a Python dict: Arrow broadcasts
-are zero-copy out of the object store, while unpickling a dict of 10⁵ bytes
-objects cost seconds per worker (measured 8 s/worker for a same-sized
-dict-of-lists broadcast)."""
+- ``collect_country_rows``: the ISO tag is extracted DISTRIBUTED
+  (``tags_get`` inside a map_batches projection) and only
+  (osm_id, admin_level, iso) rows reach the driver — every build path.
+- ``collect_label_state``: the fused driver fast path's column pull —
+  the typing/label/parent driver kernels' exact inputs, which never include
+  ``boundary_wkb`` (geometry lives exclusively in the distributed GeomPack,
+  see ``stages/inclusion.build_geom_pack``). Called ONLY on that fast path.
+
+Driver peak memory therefore never scales with total WKB bytes on any path
+(asserted by tests/test_zone_build.py::test_zone_state_pull_excludes_wkb).
+"""
 
 from __future__ import annotations
 
@@ -17,40 +27,58 @@ import ray.data as rd
 
 from ..state.country import COUNTRY_CODE_TAG
 
-GEOM_SCHEMA = pa.schema([("osm_id", pa.string()), ("boundary_wkb", pa.binary())])
+_COUNTRY_SCHEMA = pa.schema(
+    [("osm_id", pa.string()), ("admin_level", pa.int32()), ("iso", pa.string())]
+)
+
+# the fused fast path's driver kernels (type_zones_table, select_parents_df,
+# driver_label_table, the attach/typed_lite tables) consume exactly these
+LABEL_STATE_COLS = [
+    "osm_id",
+    "zone_uid",
+    "admin_level",
+    "zone_type",
+    "area",
+    "tags",
+    "name",
+    "center_tags",
+    "wikidata",
+    "zip_codes",
+]
 
 
-class ZoneStateMaps:
-    def __init__(self):
-        self.geom_table: pa.Table = GEOM_SCHEMA.empty_table()  # osm_id, wkb
-        self.country_rows: list[tuple] = []         # (osm_id, tags, admin_level)
-        self.table: pa.Table | None = None           # full materialized zones
-
-
-def collect_zone_state(zones: rd.Dataset) -> ZoneStateMaps:
+def collect_country_rows(zones: rd.Dataset) -> list[tuple]:
+    """(osm_id, {ISO3166 tag}, admin_level) rows for the CountryFinder —
+    tag lookup runs distributed; only the thin hit rows reach the driver."""
     from ..functions.arrowtools import materialized_table, tags_get
 
-    out = ZoneStateMaps()
-    tbl = materialized_table(zones)
-    out.table = tbl
-    if tbl.num_rows == 0:
-        return out
-    out.geom_table = (
-        tbl.select(["osm_id", "boundary_wkb"])
-        .filter(pc.is_valid(tbl["boundary_wkb"]))
-        .cast(GEOM_SCHEMA)
+    def thin(t: pa.Table) -> pa.Table:
+        iso = tags_get(t["tags"], COUNTRY_CODE_TAG)
+        out = pa.table(
+            {
+                "osm_id": t["osm_id"],
+                "admin_level": t["admin_level"],
+                "iso": iso,
+            },
+            schema=_COUNTRY_SCHEMA,
+        )
+        return out.filter(pc.is_valid(out["iso"]))
+
+    tbl = materialized_table(
+        zones.map_batches(thin, batch_format="pyarrow"), schema=_COUNTRY_SCHEMA
     )
-    # vectorized single-key lookup — NOT per-row dict conversion of the
-    # whole tags map (measured 15 s driver-serial at 21.8k zones)
-    iso = tags_get(tbl["tags"], COUNTRY_CODE_TAG)
-    hit = pc.is_valid(iso)
-    if pc.any(hit).as_py():
-        sub = tbl.select(["osm_id", "admin_level"]).filter(hit)
-        iso_vals = iso.filter(hit).to_pylist()
-        ids = sub["osm_id"].to_pylist()
-        lvls = sub["admin_level"].to_pylist()
-        out.country_rows = [
-            (ids[i], {COUNTRY_CODE_TAG: iso_vals[i]}, lvls[i])
-            for i in range(len(ids))
-        ]
-    return out
+    if tbl.num_rows == 0:
+        return []
+    ids = tbl["osm_id"].to_pylist()
+    lvls = tbl["admin_level"].to_pylist()
+    isos = tbl["iso"].to_pylist()
+    return [
+        (ids[i], {COUNTRY_CODE_TAG: isos[i]}, lvls[i]) for i in range(len(ids))
+    ]
+
+
+def collect_label_state(zones: rd.Dataset) -> pa.Table:
+    """Fused-fast-path driver table: all label/typing inputs, NO geometry."""
+    from ..functions.arrowtools import materialized_table
+
+    return materialized_table(zones.select_columns(LABEL_STATE_COLS))

@@ -32,7 +32,7 @@ zones_sig = [
     (r["zone_uid"], r["zone_type"], r["parent"], r["label"])
     for _, r in zdf.iterrows()
 ]
-idx = build_zone_index(cosmo.zones, cfg)
+idx = build_zone_index(cosmo.zones, cfg, pack_ref=cosmo.geom_pack_ref)
 docs = rd.read_parquet(os.path.join(d, "docs.parquet"))
 tdf = geotag_docs(docs, idx, cfg).to_pandas().sort_values("doc_id")
 tiles_sig = [

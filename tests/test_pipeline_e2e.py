@@ -83,3 +83,56 @@ def test_deterministic_across_runs(ray_session, mini_lux_dir, final_df):
     pd.testing.assert_series_equal(final_df["parent"], again["parent"])
     pd.testing.assert_series_equal(final_df["label"], again["label"])
     pd.testing.assert_series_equal(final_df["zone_type"], again["zone_type"])
+
+
+def test_driver_state_pull_excludes_geometry(cosmo, ray_session, mini_lux_dir):
+    """VERDICT r3 task 3: driver-side zone-state pulls must never include
+    boundary WKB on ANY path — geometry reaches workers only via the
+    distributed GeomPack broadcast (reused by the geotag index via
+    CosmogonyResult.geom_pack_ref)."""
+    from cosmogony_ray.sources.osm import read_osm_tables
+    from cosmogony_ray.stages.zone_build import assemble_zones
+    from cosmogony_ray.stages.zone_state import (
+        LABEL_STATE_COLS,
+        collect_country_rows,
+        collect_label_state,
+    )
+
+    assert "boundary_wkb" not in LABEL_STATE_COLS
+    assert cosmo.geom_pack_ref is not None
+
+    cfg = EngineConfig(rules_dir=os.path.join(mini_lux_dir, "rules"))
+    zones = assemble_zones(*read_osm_tables(mini_lux_dir), cfg).materialize()
+    rows = collect_country_rows(zones)
+    assert rows and all(len(r) == 3 for r in rows)
+    # the fixture's country relation carries the ISO tag at admin_level 2
+    assert any(r[2] == 2 and list(r[1].values()) for r in rows)
+    lbl = collect_label_state(zones)
+    assert "boundary_wkb" not in lbl.column_names
+    assert lbl.num_rows == zones.count()
+
+
+def test_zone_index_from_shared_pack_matches_self_built(cosmo, ray_session):
+    """Geotag index built from the shared build pack must equal one built
+    from a fresh parse of the final zones (same edges, bboxes, cell map)."""
+    import numpy as np
+    import ray
+
+    from cosmogony_ray.stages.geotag import build_zone_index
+
+    cfg = EngineConfig()
+    a = ray.get(build_zone_index(cosmo.zones, cfg, pack_ref=cosmo.geom_pack_ref))
+    b = ray.get(build_zone_index(cosmo.zones, cfg))
+    assert a.ids == b.ids
+    assert np.array_equal(a.ecnt, b.ecnt)
+    assert np.array_equal(a.big, b.big)
+    assert np.array_equal(a.bminx, b.bminx, equal_nan=True)
+    assert set(a.cell_map) == set(b.cell_map)
+    for c in a.cell_map:
+        assert np.array_equal(np.sort(a.cell_map[c]), np.sort(b.cell_map[c]))
+    # edge slices identical per zone even though pack layouts may differ
+    for i in range(len(a.ids)):
+        sa, ca = int(a.estart[i]), int(a.ecnt[i])
+        sb, cb = int(b.estart[i]), int(b.ecnt[i])
+        assert ca == cb
+        assert np.array_equal(a.ex1[sa : sa + ca], b.ex1[sb : sb + cb])
