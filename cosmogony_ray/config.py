@@ -55,7 +55,13 @@ class EngineConfig:
     driver_hierarchy_max_edges: int = 5_000_000
     zone_batch_size: int = 512               # geometry rows per batch (wide WKB rows)
     doc_batch_size: int = 4096               # doc geotag batch size
-    geotag_concurrency: int | tuple = (1, 8)      # actor pool size for the doc path
+    geotag_concurrency: int | tuple = (1, 8)      # actor pool size ("actors" mode)
+    # "tasks" (default): the geotag stage is a task-pool map whose zone
+    # index is a worker-cached broadcast (same pattern as the inclusion
+    # join) — no actor-pool spin-up (~2 s fixed per run at 32 CPUs) and the
+    # scheduler can use every CPU. "actors": the round-1..3 actor pool
+    # (kept for pinned-state deployments, e.g. GPU-resident indexes).
+    geotag_mode: str = "tasks"
     checkpoint_dir: str | None = None
 
     def cells(self) -> GridCells:
