@@ -389,19 +389,19 @@ def _q_rolling_fp_agg(sf_dir: str):
         offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = col.flatten().to_numpy(zero_copy_only=False)
         counts = np.diff(offs)
+        # rolling_fingerprint always emits >=1 value per doc (md5 fallback
+        # for short docs), so empty lists are impossible TODAY — but
+        # reduceat on an empty segment would silently read the NEXT doc's
+        # first value (and an empty trailing segment raises IndexError), so
+        # the invariant is asserted rather than assumed (round-3 ADVICE).
+        assert (counts > 0).all(), "rolling_fingerprint emitted an empty list"
         segs = offs[:-1]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "fp_min": pa.array(
-                    np.minimum.reduceat(vals, segs) * (counts > 0), type=pa.int64()
-                ),
-                "fp_max": pa.array(
-                    np.maximum.reduceat(vals, segs) * (counts > 0), type=pa.int64()
-                ),
-                "fp_sum": pa.array(
-                    np.add.reduceat(vals, segs) * (counts > 0), type=pa.int64()
-                ),
+                "fp_min": pa.array(np.minimum.reduceat(vals, segs), type=pa.int64()),
+                "fp_max": pa.array(np.maximum.reduceat(vals, segs), type=pa.int64()),
+                "fp_sum": pa.array(np.add.reduceat(vals, segs), type=pa.int64()),
             }
         )
 

@@ -204,22 +204,43 @@ def train_ivf_centroids(
 ):
     """Driver-side spherical k-means over a deterministic sample → broadcast
     normalized centroid matrix (k, d). The IVF "train" phase: the sample is
-    the first ``sample_rows`` rows in ``id_col`` order (deterministic, no
-    RNG on data), init is every (n/k)-th sample vector, and Lloyd iterations
+    selected by a PER-ROW hash predicate on ``id_col`` (round-3 ADVICE fix
+    — the old "first 2N rows from iter_batches" depended on block arrival
+    order, which is not guaranteed on multi-node or re-ordered reads), so
+    the sampled set — hence centroids and ANN recall — is identical run to
+    run and unbiased across the corpus (the old head sample was also
+    head-biased). Init is every (n/k)-th sample vector, and Lloyd iterations
     run on the driver — training is O(sample) by design; the corpus itself
     never leaves the cluster (the assignment phase in ``knn_ivf`` is a
     distributed map). The classic IVF-Flat layout (Sivic & Zisserman's
     inverted file; FAISS IVF family)."""
-    rows = []
-    for t in ds.select_columns([id_col, vec_col]).iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        ids = t[id_col].to_pylist()
-        vecs = t[vec_col].to_pylist()
-        rows.extend(zip(ids, vecs))
-        if len(rows) >= sample_rows * 2:
-            break
-    rows.sort()
+    n_total = ds.count()  # parquet metadata count — no full scan
+    if n_total == 0:
+        raise ValueError("cannot train IVF centroids on an empty dataset")
+    # oversample 3x via the hash predicate, then keep the sample_rows rows
+    # with the smallest hash (deterministic regardless of block order)
+    frac = min(1.0, 3.0 * sample_rows / n_total)
+    A, B = np.uint64(0x9E3779B97F4A7C15), np.uint64(0x2545F4914F6CDD1D)
+    threshold = np.uint64(min(int(frac * float(2**64 - 1)), 2**64 - 1))
+
+    def _mix(ids: np.ndarray) -> np.ndarray:
+        h = (ids.astype(np.uint64) + B) * A       # u64 wraparound bijection
+        return (h ^ (h >> np.uint64(31))) * B     # finalizer mix
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        keep = _mix(np.asarray(ids, dtype=np.int64)) <= threshold
+        return t.filter(pa.array(keep))
+
+    sampled = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(pick, batch_format="pyarrow")
+        .take_all()
+    )
+    rows = [(r[id_col], r[vec_col]) for r in sampled]
+    # order by (hash, id): a hash-prefix cut stays deterministic even if
+    # the oversample returns more rows than needed
+    rows.sort(key=lambda r: (int(_mix(np.array([r[0]], dtype=np.int64))[0]), r[0]))
     rows = rows[:sample_rows]
     mat = _normalize(np.stack([np.asarray(v, dtype=np.float64) for _, v in rows]))
     k = min(n_centroids, mat.shape[0])
@@ -382,14 +403,41 @@ def knn_ivf_partitioned(
     qsim = q["mat"] @ cent.T
     npb = min(nprobe, cent.shape[0])
     probe = np.argpartition(-qsim, npb - 1, axis=1)[:, :npb]
-    import glob
+    # filesystem-aware partition listing (round-3 ADVICE): a remote URI or a
+    # mistyped index_dir must raise, not silently return an empty result
+    from pyarrow import fs as pafs
 
+    if "://" in index_dir:
+        fsys, root = pafs.FileSystem.from_uri(index_dir)
+    else:
+        fsys, root = pafs.LocalFileSystem(), index_dir
+    try:
+        infos = fsys.get_file_info(pafs.FileSelector(root, recursive=False))
+    except (FileNotFoundError, OSError) as e:
+        raise FileNotFoundError(f"IVF index dir not readable: {index_dir}") from e
+    cluster_dirs = {
+        i.base_name: i.path
+        for i in infos
+        if i.type == pafs.FileType.Directory and i.base_name.startswith("cluster=")
+    }
+    if not cluster_dirs:
+        raise FileNotFoundError(
+            f"no cluster=* partitions under IVF index dir {index_dir} — "
+            "not an ivf_write_partitioned layout"
+        )
     wanted = sorted(set(int(c) for c in probe.ravel()))
     paths = []
     for c in wanted:
+        d = cluster_dirs.get(f"cluster={c}")
+        if d is None:
+            continue  # probed cluster genuinely empty in the corpus
         # read_parquet with a LIST of paths expects files, not directories
         paths.extend(
-            sorted(glob.glob(os.path.join(index_dir, f"cluster={c}", "*.parquet")))
+            sorted(
+                i.path
+                for i in fsys.get_file_info(pafs.FileSelector(d, recursive=False))
+                if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+            )
         )
     if not paths:
         return rd.from_arrow(
