@@ -85,3 +85,28 @@ def test_merge_offsets(final_zones, tmp_path):
             assert r["parent"] >= 30
     with pytest.raises(ValueError):
         merge_cosmogonies([a], str(tmp_path / "m.json"))
+
+
+def test_read_docs_format_switch(ray_session, tmp_path):
+    """SURVEY §1.4 format switch: parquet dispatch works with column
+    pruning; the lance branch raises a clear ImportError when the wheel is
+    absent (parquet is this repo's canonical doc format — see
+    sources/docs.py); bad format names are rejected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cosmogony_ray.sources.docs import _lance_available, read_docs
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": ["a", "b"], "extra": [0, 1]}), p
+    )
+    ds = read_docs(p, columns=["doc_id", "text"])
+    assert ds.schema().names == ["doc_id", "text"]
+    assert ds.count() == 2
+    if not _lance_available():
+        with pytest.raises(ImportError, match="canonical doc format"):
+            read_docs(str(tmp_path / "docs.lance"))
+    with pytest.raises(ValueError):
+        read_docs(p, format="orc")
