@@ -588,27 +588,33 @@ def embedding_dup_pairs(
     d_holder: dict = {}
 
     def bucketize(t: pa.Table) -> pa.Table:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in t[vec_col].to_pylist()])
+        from .similarity import _as_matrix, _ids_i64
+
+        vcol = t[vec_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        m = _as_matrix(vcol)
         if "pm" not in d_holder:
             prng = np.random.RandomState(seed)
             d_holder["pm"] = prng.normal(size=(tables, planes, m.shape[1]))
         pm = d_holder["pm"]
-        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        ids = _ids_i64(t[id_col])
         weights = (1 << np.arange(planes, dtype=np.int64)).astype(np.int64)
-        out_t, out_b, out_id, out_vec = [], [], [], []
+        out_t, out_b = [], []
         for ti in range(tables):
             bits = (pm[ti] @ m.T) > 0
             buckets = (bits.T @ weights).astype(np.int64)
             out_t.append(np.full(len(ids), ti, dtype=np.int32))
             out_b.append(buckets)
-            out_id.append(ids)
-            out_vec.extend(t[vec_col].to_pylist())
+        # vec column replicated per table via one Arrow take (no python
+        # list round trip)
+        rep_idx = pa.array(np.tile(np.arange(len(ids), dtype=np.int64), tables))
         return pa.table(
             {
                 "table": pa.array(np.concatenate(out_t), type=pa.int32()),
                 "bucket": pa.array(np.concatenate(out_b), type=pa.int64()),
-                id_col: pa.array(np.concatenate(out_id), type=pa.int64()),
-                vec_col: pa.array(out_vec),
+                id_col: pa.array(np.tile(ids, tables), type=pa.int64()),
+                vec_col: vcol.take(rep_idx),
             }
         )
 
@@ -621,10 +627,10 @@ def embedding_dup_pairs(
         for _, g in iter_key_groups(part, ["table", "bucket"]):
             if g.num_rows < 2:
                 continue
-            ids = np.asarray(g[id_col].to_pylist(), dtype=np.int64)
-            m = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in g[vec_col].to_pylist()]
-            )
+            from .similarity import _as_matrix, _ids_i64
+
+            ids = _ids_i64(g[id_col])
+            m = _as_matrix(g[vec_col])
             a_, b_ = pairs_in(ids, m)
             out_a.append(a_)
             out_b.append(b_)
