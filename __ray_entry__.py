@@ -501,6 +501,162 @@ stats AS (
 """
 
 
+def _q_dedup_clusters(sf_dir: str):
+    """Duplicate-cluster assignment — the dedup COMPLETION step: blocking
+    relations collapsed into transitive clusters via distributed connected
+    components (functions/graph.py, alternating large-star/small-star).
+    Blocking keys: the exact normalized-content fingerprint AND the
+    (n_chars, n_tokens) shape signature — two relations whose union has real
+    transitive chains, both SQL-expressible so the oracle is an exact
+    recursive-CTE reachability fixpoint. Output: (doc_id, cluster_id) with
+    cluster_id = min doc_id of the connected component (isolated docs
+    cluster with themselves)."""
+    from cosmogony_ray.functions.graph import (
+        connected_components,
+        equality_star_edges,
+    )
+    from cosmogony_ray.functions.shuffle import partitioned_map
+    from cosmogony_ray.functions.textops import fingerprint_md5, text_stats
+
+    docs = _docs_ds(sf_dir)
+    e1 = equality_star_edges(fingerprint_md5(docs), ["fingerprint"])
+    stats = text_stats(docs).select_columns(["doc_id", "n_chars", "n_tokens"])
+    e2 = equality_star_edges(stats, ["n_chars", "n_tokens"])
+    labels = connected_components(e1.union(e2))
+
+    # isolated docs default to their own id; component members take the
+    # component minimum (their CC label is always <= their own id)
+    defaults = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["doc_id"].cast(pa.int64()),
+                "cluster_id": t["doc_id"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("cluster_id", pa.int64())])
+
+    def min_label(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("node", "ascending"), ("cluster_id", "ascending")])
+        node = t["node"].to_numpy(zero_copy_only=False)
+        lab = t["cluster_id"].to_numpy(zero_copy_only=False)
+        n = len(node)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = node[1:] != node[:-1]
+        starts = np.nonzero(change)[0]
+        return pa.table(
+            {"doc_id": node[starts], "cluster_id": lab[starts]}, schema=out_schema
+        )
+
+    return partitioned_map(
+        labels.union(defaults), ["node"], min_label, empty_schema=out_schema
+    )
+
+
+def _q_purchase_attribution(sf_dir: str):
+    """As-of join (custom operator per the engine brief): every 'click'
+    event attributed to the SAME USER's latest 'purchase' at-or-before the
+    click timestamp — inner-match semantics (unmatched clicks dropped; the
+    all-null right side of a LEFT variant turns int64 into float64 under
+    pandas conversion on BOTH the Ray and DuckDB paths, which would make the
+    value hash depend on the converter, not the data). The right side is
+    pre-aggregated to unique (user_id, ts) so tie resolution is
+    deterministic on both sides."""
+    from cosmogony_ray.functions.shuffle import partitioned_map
+    from cosmogony_ray.functions.temporal import asof_join
+
+    ev = _read_sf(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep_purchase(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["event_type"], "purchase")
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "purchase_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False)), type=pa.int64()
+                ),
+            }
+        )
+
+    purchases = ev.map_batches(prep_purchase, batch_format="pyarrow")
+    # unique (user_id, ts): max cents as the deterministic tie resolution
+    uniq_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("purchase_cents", pa.int64())]
+    )
+
+    def uniq_max(t: pa.Table) -> pa.Table:
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("purchase_cents", "descending")]
+        )
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        n = len(uid)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        change[1:] = (uid[1:] != uid[:-1]) | (ts[1:] != ts[:-1])
+        keep = pa.array(change)
+        return t.filter(keep).select(["user_id", "ts", "purchase_cents"]).cast(uniq_schema)
+
+    purchases = partitioned_map(
+        purchases, ["user_id"], uniq_max, empty_schema=uniq_schema
+    )
+
+    def prep_click(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        return pa.table(
+            {"event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"]}
+        )
+
+    left = ev.map_batches(prep_click, batch_format="pyarrow")
+    joined = asof_join(
+        left, purchases, by="user_id", on="ts", value_cols=["purchase_cents"]
+    )
+
+    def inner_only(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["purchase_cents"]))
+        return t.select(["event_id", "user_id", "purchase_cents"])
+
+    return joined.map_batches(inner_only, batch_format="pyarrow")
+
+
+def _q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate (custom operator per the engine brief):
+    per event_type × 1-hour window, event count + int-cents value sum.
+    Window start emitted as int64 epoch seconds — integral on both sides, so
+    the oracle hash is converter-independent. Pre-aggregated per batch
+    before the small final shuffle (functions/temporal.py)."""
+    from cosmogony_ray.functions.temporal import tumbling_window_agg
+
+    ev = _read_sf(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "value_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False)), type=pa.int64()
+                ),
+            }
+        )
+
+    prepped = ev.map_batches(prep, batch_format="pyarrow")
+    return tumbling_window_agg(
+        prepped,
+        ts_col="ts",
+        window_s=3600,
+        keys=["event_type"],
+        sums={"sum_value_cents": "value_cents"},
+        counts="n_events",
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -536,6 +692,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "user_sessions": _q_user_sessions,
         "media_features": _q_media_features,
+        "dedup_clusters": _q_dedup_clusters,
+        "purchase_attribution": _q_purchase_attribution,
+        "events_hourly": _q_events_hourly,
     }
 
 
@@ -696,6 +855,58 @@ SELECT doc_id,
        MAX(h)::BIGINT AS fp_max,
        SUM(h)::BIGINT AS fp_sum
 FROM kept WHERE rn <= 4 GROUP BY doc_id
+""",
+        # connected components as an exact reachability fixpoint: edges =
+        # (same normalized-content md5) ∪ (same (n_chars, n_tokens) shape),
+        # both star-shaped toward the group minimum; the recursive CTE
+        # propagates every reachable label and MIN() picks the component
+        # minimum — the same answer the large-star/small-star engine computes
+        "dedup_clusters": r"""
+WITH RECURSIVE
+fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+st AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+e1 AS (SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY h) AS v FROM fp),
+e2 AS (SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY n_chars, n_tokens) AS v FROM st),
+edges AS (
+  SELECT u, v FROM e1 WHERE u <> v
+  UNION
+  SELECT u, v FROM e2 WHERE u <> v
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT s.u AS node, r.lbl FROM sym s JOIN reach r ON r.node = s.v
+)
+SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
+FROM reach GROUP BY node
+""",
+        # as-of join: DuckDB's native ASOF (inner) JOIN is the oracle; the
+        # right side is pre-aggregated to unique (user_id, ts) with MAX-cents
+        # tie resolution, mirroring the Ray path exactly
+        "purchase_attribution": """
+WITH p AS (
+  SELECT user_id, ts,
+         MAX(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, p.purchase_cents
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+        "events_hourly": """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 AS window_start_s,
+       SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents,
+       COUNT(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
 """,
         # dedup_minhash / dedup_simhash / embedding_dups / rolling_fingerprint
         # (raw list form) / knn_lsh / knn_ivf: deterministic but not

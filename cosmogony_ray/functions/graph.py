@@ -1,0 +1,257 @@
+"""Distributed graph clustering over Ray Data — the completion step the
+dedup family needs at corpus scale.
+
+``minhash_lsh_pairs`` / ``simhash_pairs`` / ``embedding_dup_pairs`` emit
+candidate PAIRS; deduplication needs PARTITIONS: each document assigned to a
+duplicate cluster with one canonical keeper. Pair lists don't compose —
+(A,B) and (B,C) must collapse into {A,B,C} — so the missing operator is
+connected components over the duplicate graph.
+
+``connected_components`` implements the alternating large-star / small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14 — public literature), the standard shuffle-friendly formulation:
+
+- large-star: every node connects its strictly-larger neighbors to the
+  minimum of its closed neighborhood;
+- small-star: every node connects its smaller-or-equal neighbors (and
+  itself) to that minimum.
+
+Both rounds are ONE hash-partitioned grouped pass each (`partitioned_map`),
+vectorized with run-length numpy kernels inside the partition — no per-node
+Python. The alternation converges in O(log^2 n) rounds w.h.p.; each round's
+edge set is bounded by the input edge count (per the paper), so the
+intermediate never blows past the duplicate graph itself — which is the
+small derivative of the corpus, NOT the corpus (at 100 TB the corpus
+streams; only the candidate-pair graph enters the loop, and it is
+materialized once per round for the fixpoint check).
+
+Scale notes:
+- per-round cost: 2 hash shuffles of the current edge set;
+- fixpoint detection: a tiny per-round aggregate (count + xor-ish checksum),
+  never a driver-side edge pull;
+- output: one (node, cluster_id=component minimum) row per non-isolated
+  node. Isolated nodes are the caller's default (cluster_id = own id) —
+  see ``__ray_entry__._q_dedup_clusters`` for the union idiom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from .shuffle import distinct_rows, partitioned_map
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _run_starts(arr: np.ndarray) -> np.ndarray:
+    """Start indices of equal-value runs in a sorted array."""
+    n = len(arr)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = arr[1:] != arr[:-1]
+    return np.nonzero(change)[0]
+
+
+def _large_star_partition(t: pa.Table) -> pa.Table:
+    """Per-partition large-star: rows are (u, v) directed edges with ALL
+    edges incident to a given u co-located (hash partition on u). For each
+    center u with neighbor list N(u): m = min(N(u) ∪ {u}); emit (v, m) for
+    every v in N(u) with v > u."""
+    if t.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table()
+    t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    starts = _run_starts(u)
+    # v sorted within each u-run → run minimum of v is its first element
+    m = np.minimum(v[starts], u[starts])
+    counts = np.diff(np.append(starts, len(u)))
+    m_rep = np.repeat(m, counts)
+    keep = v > u
+    return pa.table(
+        {"u": pa.array(v[keep], type=pa.int64()), "v": pa.array(m_rep[keep], type=pa.int64())},
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _small_star_partition(t: pa.Table) -> pa.Table:
+    """Per-partition small-star: rows are (u, v) with v <= u (edges oriented
+    toward the smaller endpoint, partitioned on u). For each center u:
+    m = min(N(u)); emit (v, m) for every v in N(u) ∪ {u}, v != m."""
+    if t.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table()
+    t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    starts = _run_starts(u)
+    m = v[starts]  # v <= u throughout, so min(N(u) ∪ {u}) = min(N(u))
+    counts = np.diff(np.append(starts, len(u)))
+    m_rep = np.repeat(m, counts)
+    # neighbors: (v, m) for v != m; centers: (u, m) once per run (u != m
+    # unless the run is a pure self-loop, filtered by v != m below)
+    keep = v != m_rep
+    out_u = np.concatenate([v[keep], u[starts]])
+    out_v = np.concatenate([m_rep[keep], m])
+    keep2 = out_u != out_v
+    return pa.table(
+        {
+            "u": pa.array(out_u[keep2], type=pa.int64()),
+            "v": pa.array(out_v[keep2], type=pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _both_directions(t: pa.Table) -> pa.Table:
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate([u, v]), type=pa.int64()),
+            "v": pa.array(np.concatenate([v, u]), type=pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _orient_to_smaller(t: pa.Table) -> pa.Table:
+    u = t["u"].to_numpy(zero_copy_only=False)
+    v = t["v"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "u": pa.array(np.maximum(u, v), type=pa.int64()),
+            "v": pa.array(np.minimum(u, v), type=pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def _edge_checksum(edges: rd.Dataset) -> tuple[int, int]:
+    """(row_count, order-independent checksum) of a distinct edge set —
+    a tiny aggregate per round, never a driver-side edge pull."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (u * np.uint64(0x9E3779B97F4A7C15) + v * np.uint64(0xC2B2AE3D27D4EB4F)) & np.uint64(
+            (1 << 62) - 1
+        )
+        return pa.table(
+            {"n": pa.array([len(u)], type=pa.int64()), "s": pa.array([int(h.sum() & np.uint64((1 << 62) - 1))], type=pa.int64())}
+        )
+
+    agg = edges.map_batches(partial, batch_format="pyarrow")
+    n = agg.sum("n") or 0
+    s = agg.sum("s") or 0
+    return int(n), int(s) & ((1 << 62) - 1)
+
+
+def connected_components(
+    pairs: rd.Dataset,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    max_rounds: int = 40,
+) -> rd.Dataset:
+    """Connected components of an undirected int64 graph → one
+    ``(node, cluster_id)`` row per non-isolated node, ``cluster_id`` = the
+    minimum node id of the component. Deterministic; parallelism-invariant.
+
+    ``pairs`` is any Dataset with two int64 id columns (self-loops and
+    duplicate edges tolerated). Each round materializes the (bounded)
+    current edge set so the fixpoint check doesn't replay lineage.
+    """
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"u": t[src].cast(pa.int64()), "v": t[dst].cast(pa.int64())},
+            schema=_EDGE_SCHEMA,
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_rows(
+        edges.map_batches(_orient_to_smaller, batch_format="pyarrow"), ["u", "v"]
+    )
+    edges = edges.map_batches(
+        lambda t: t.filter(pa.compute.not_equal(t["u"], t["v"])), batch_format="pyarrow"
+    ).materialize()
+
+    prev = _edge_checksum(edges)
+    if prev[0] == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+            )
+        )
+
+    for _ in range(max_rounds):
+        ls_in = edges.map_batches(_both_directions, batch_format="pyarrow")
+        ls_out = partitioned_map(
+            ls_in, ["u"], _large_star_partition, empty_schema=_EDGE_SCHEMA
+        )
+        ss_in = ls_out.map_batches(_orient_to_smaller, batch_format="pyarrow")
+        ss_out = partitioned_map(
+            ss_in, ["u"], _small_star_partition, empty_schema=_EDGE_SCHEMA
+        )
+        edges = distinct_rows(ss_out, ["u", "v"]).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # at fixpoint the edges are stars (member -> component minimum); the
+    # center labels itself
+    def to_labels(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "cluster_id": pa.array(np.concatenate([v, v]), type=pa.int64()),
+            }
+        )
+
+    labels = edges.map_batches(to_labels, batch_format="pyarrow")
+    return distinct_rows(labels, ["node", "cluster_id"])
+
+
+def equality_star_edges(
+    ds: rd.Dataset, keys: list[str], id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Blocking-key edges for the dedup graph: for every group of rows
+    sharing ``keys``, emit star edges (id, group-min id) — O(group) edges
+    instead of the O(group²) clique, the same skew guard the LSH emitters
+    use. Output: (u, v) int64 with u != v; singleton groups emit nothing.
+
+    One hash shuffle on ``keys``; per-partition run-length numpy kernel."""
+
+    def per_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE_SCHEMA.empty_table()
+        t = t.sort_by([(k, "ascending") for k in keys] + [(id_col, "ascending")])
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for k in keys:
+            arr = t[k].to_numpy(zero_copy_only=False)
+            change[1:] |= arr[1:] != arr[:-1]
+        starts = np.nonzero(change)[0]
+        counts = np.diff(np.append(starts, n))
+        m_rep = np.repeat(ids[starts], counts)  # group min = first id of run
+        keep = ids != m_rep
+        return pa.table(
+            {
+                "u": pa.array(ids[keep], type=pa.int64()),
+                "v": pa.array(m_rep[keep], type=pa.int64()),
+            },
+            schema=_EDGE_SCHEMA,
+        )
+
+    return partitioned_map(ds, keys, per_partition, empty_schema=_EDGE_SCHEMA)

@@ -1,0 +1,158 @@
+"""Temporal operators over Ray Data: as-of join and tumbling-window
+aggregation.
+
+Neither exists natively in Ray Data; both are expressed as compositions per
+the engine's partitioning discipline (hash-partition on the equality key,
+ONE vectorized pass per partition — the same shape as sessionization in
+``__ray_entry__._q_user_sessions``; per-key ``map_groups`` is a Python call
+per key and collapses at 10^5+ keys).
+
+``asof_join`` partitioning assumption: all rows of one ``by`` key (both
+sides) fit one hash partition — the same assumption every keyed operator in
+this engine makes; a key whose history exceeds a partition's memory needs
+time-bucketed pre-splitting, which callers can do by adding a coarse time
+bucket to ``by``.
+
+``tumbling_window_agg`` is pre-aggregated inside ``map_batches`` (partial
+combine) before the small final shuffle — the 100-TB shape: the shuffle
+moves one row per (key, window) per input block, never the event stream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from .relops import partial_groupby_sum
+from .shuffle import partitioned_map
+
+_SIDE_COL = "__side__"
+
+
+def _ts_us(arr: pa.ChunkedArray) -> np.ndarray:
+    """int64 microseconds since epoch for a timestamp/int column."""
+    if pa.types.is_timestamp(arr.type):
+        arr = arr.cast(pa.timestamp("us"))
+        return arr.to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+    return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    on: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """For every left row, attach ``value_cols`` from the LATEST right row of
+    the same ``by`` key with ``right.on <= left.on`` (inclusive — DuckDB
+    ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on`` semantics); null
+    when no such row. Output = left columns + value_cols.
+
+    Ties inside the right side (duplicate (by, on)) are resolved toward the
+    LARGEST row position after an in-partition stable sort by (by, on) —
+    callers wanting deterministic tie values should pre-aggregate the right
+    side to unique (by, on), as the oracle-checked query does.
+
+    Implementation: union both (column-pruned) sides with a side tag, hash-
+    partition on ``by``, then per partition ONE vectorized merge: lexsort by
+    (by, on, side) with right-before-left at equal ``on``, propagate the
+    last-seen right row index with ``np.maximum.accumulate``, and null out
+    matches that crossed a ``by`` boundary. No per-key Python loop.
+    """
+    def _pa_schema(ds: rd.Dataset) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", None)
+        return base if isinstance(base, pa.Schema) else pa.schema(
+            [(n, t) for n, t in zip(s.names, s.types)]
+        )
+
+    left_schema = _pa_schema(left)
+    left_names = list(left_schema.names)
+    out_fields = [(n, left_schema.field(n).type) for n in left_names]
+    right_schema = _pa_schema(right)
+    out_fields += [(c, right_schema.field(c).type) for c in value_cols]
+    out_schema = pa.schema(out_fields)
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            cols: dict[str, object] = {}
+            for n in left_names:
+                cols[n] = t[n] if side == 1 else pa.nulls(t.num_rows, left_schema.field(n).type)
+            for c in value_cols:
+                cols[c] = t[c] if side == 0 else pa.nulls(t.num_rows, right_schema.field(c).type)
+            if side == 0:  # right: by/on live in left-named columns too
+                cols[by] = t[by]
+                cols[on] = t[on]
+            cols[_SIDE_COL] = pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    lt = left.map_batches(tag(1), batch_format="pyarrow")
+    rt = right.select_columns([by, on] + value_cols).map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t[_SIDE_COL].to_numpy(zero_copy_only=False)
+        key = t[by].to_numpy(zero_copy_only=False)
+        ts = _ts_us(t[on])
+        order = np.lexsort((side, ts, key))  # right (0) before left (1) at ties
+        s_key, s_side = key[order], side[order]
+        n = len(order)
+        # last-seen right row position (+1; 0 = none), within the sort order
+        right_pos = np.where(s_side == 0, np.arange(1, n + 1), 0)
+        seen = np.maximum.accumulate(right_pos)
+        is_left = s_side == 1
+        match = seen[is_left]  # 1-based index into sort order, 0 = none
+        valid = match > 0
+        # null out matches that point at a different key's right row
+        m_idx = np.where(valid, match - 1, 0)
+        valid &= s_key[m_idx] == s_key[np.nonzero(is_left)[0]]
+        left_orig = order[is_left]
+        right_orig = order[m_idx]
+        out: dict[str, object] = {}
+        for nm in left_names:
+            out[nm] = t[nm].take(pa.array(left_orig, type=pa.int64()))
+        vmask = pa.array(valid)
+        for c in value_cols:
+            taken = t[c].take(pa.array(right_orig, type=pa.int64()))
+            out[c] = pc.if_else(vmask, taken, pa.nulls(len(valid), right_schema.field(c).type))
+        return pa.table(out, schema=out_schema)
+
+    return partitioned_map(
+        both, [by], merge, empty_schema=out_schema, num_partitions=num_partitions
+    )
+
+
+def tumbling_window_agg(
+    ds: rd.Dataset,
+    *,
+    ts_col: str,
+    window_s: int,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+    window_col: str = "window_start_s",
+) -> rd.Dataset:
+    """Tumbling-window aggregate: floor ``ts_col`` to ``window_s``-second
+    windows (int64 epoch seconds — integral on both the Ray and SQL sides so
+    hashes compare exactly), then ``partial_groupby_sum`` over
+    keys + window. Sum columns must already be integers per this repo's
+    e4/cents convention (__ray_entry__ module docstring)."""
+    win_us = np.int64(window_s) * np.int64(1_000_000)
+
+    def add_window(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[ts_col])
+        w = (ts // win_us) * np.int64(window_s)
+        return t.append_column(window_col, pa.array(w, type=pa.int64()))
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow")
+    return partial_groupby_sum(windowed, keys + [window_col], sums, counts=counts)
