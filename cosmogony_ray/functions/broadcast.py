@@ -21,6 +21,24 @@ def get_cached(ref):
     return obj
 
 
+def lookup_sorted_ids(ids_sorted, values):
+    """Row indices (int64 numpy, -1 = absent) of integer ``values`` in a
+    PRESORTED id array. The zero-setup sibling of ``lookup_int_indices``:
+    when the broadcast side ships already sorted (the assembly packs), a
+    worker's first batch pays NO per-worker argsort/concat — at 32 workers
+    the cached-index builds were ~30% of the assemble stage's total CPU,
+    and they scale with worker count (the anti-scaling direction)."""
+    import numpy as np
+
+    values = np.asarray(values)
+    if len(ids_sorted) == 0:
+        return np.full(len(values), -1, dtype=np.int64)
+    pos = np.searchsorted(ids_sorted, values)
+    pos_c = np.minimum(pos, len(ids_sorted) - 1)
+    found = ids_sorted[pos_c] == values
+    return np.where(found, pos_c, np.int64(-1))
+
+
 def cached_str_index(ref, col: str) -> dict:
     """Worker-cached {string value → row index} for a broadcast table column.
 

@@ -372,25 +372,58 @@ def _collect_table(ds: rd.Dataset, cols: list[str] | None = None) -> pa.Table:
     return pa.concat_tables(parts).combine_chunks()
 
 
+def _build_node_pack(*tbls: pa.Table) -> dict:
+    """Runs as ONE Ray task: node blocks → presorted flat numpy pack
+    {ids, lon, lat (numpy, sorted by id), tags (Arrow, same order)}.
+    The pack lives in the object store (task return) — its bytes never
+    cross the driver, workers read the numpy arrays zero-copy, and NO
+    per-worker index build is needed (see broadcast.lookup_sorted_ids)."""
+    t = pa.concat_tables(list(tbls), promote_options="default").combine_chunks()
+    ids = t["osm_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    take = pa.array(order, type=pa.int64())
+    return {
+        "ids": ids[order],
+        "lon": t["lon"].to_numpy(zero_copy_only=False)[order],
+        "lat": t["lat"].to_numpy(zero_copy_only=False)[order],
+        "tags": pc.take(t["tags"].combine_chunks(), take),
+    }
+
+
+def _build_way_pack(*tbls: pa.Table) -> dict:
+    """Runs as ONE Ray task: way-geometry blocks → presorted CSR pack
+    {ids (sorted), offs (int64, len+1), xs, ys (flat float64)} — the
+    ring-assembly loop slices numpy VIEWS per member instead of converting
+    Arrow lists to Python lists per way."""
+    t = pa.concat_tables(list(tbls), promote_options="default").combine_chunks()
+    ids = t["osm_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids, kind="stable")
+    take = pa.array(order, type=pa.int64())
+    xs = pc.take(t["xs"].combine_chunks(), take)
+    ys = pc.take(t["ys"].combine_chunks(), take)
+    if isinstance(xs, pa.ChunkedArray):
+        xs = xs.combine_chunks()
+        ys = ys.combine_chunks()
+    return {
+        "ids": ids[order],
+        "offs": xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
+        "xs": xs.values.to_numpy(zero_copy_only=False),
+        "ys": ys.values.to_numpy(zero_copy_only=False),
+    }
+
+
 def _way_geo_fn(nodes_ref):
     """ways batch → (osm_id, xs, ys): node-coordinate lookup against the
-    broadcast nodes table (``pc.index_in``), list rebuild via offsets —
-    fully vectorized, no shuffle."""
-    from ..functions.broadcast import get_cached_transformed, lookup_int_indices
-
-    def prep(tbl: pa.Table) -> dict:
-        return {
-            "lon": tbl["lon"].combine_chunks(),
-            "lat": tbl["lat"].combine_chunks(),
-        }
+    broadcast node pack (presorted ids → direct ``searchsorted``), list
+    rebuild via offsets — fully vectorized, no shuffle, no per-worker
+    setup."""
+    from ..functions.broadcast import get_cached, lookup_sorted_ids
 
     def fn(batch: pa.Table) -> pa.Table:
-        nd = get_cached_transformed(nodes_ref, "coords", prep)
+        nd = get_cached(nodes_ref)
         nid = batch["node_ids"].combine_chunks()
         flat = nid.flatten()
-        raw = lookup_int_indices(
-            nodes_ref, "osm_id", flat.to_numpy(zero_copy_only=False)
-        )
+        raw = lookup_sorted_ids(nd["ids"], flat.to_numpy(zero_copy_only=False))
         # Dangling node refs (clipped extracts) are DROPPED from the way's
         # coordinate list — inner-join semantics matching the distributed
         # assembly path and the reference (osmpbfreader get_objs_and_deps
@@ -402,12 +435,13 @@ def _way_geo_fn(nodes_ref):
             cum = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
             offs_np = cum[offs_np]
             raw = raw[valid]
-        idx = pa.array(raw, type=pa.int64())
-        lon = pc.take(nd["lon"], idx)
-        lat = pc.take(nd["lat"], idx)
         offs = pa.array(offs_np)
-        xs = pa.LargeListArray.from_arrays(offs, lon).cast(pa.list_(pa.float64()))
-        ys = pa.LargeListArray.from_arrays(offs, lat).cast(pa.list_(pa.float64()))
+        xs = pa.LargeListArray.from_arrays(offs, pa.array(nd["lon"][raw])).cast(
+            pa.list_(pa.float64())
+        )
+        ys = pa.LargeListArray.from_arrays(offs, pa.array(nd["lat"][raw])).cast(
+            pa.list_(pa.float64())
+        )
         return pa.table({"osm_id": batch["osm_id"], "xs": xs, "ys": ys})
 
     return fn
@@ -415,46 +449,29 @@ def _way_geo_fn(nodes_ref):
 
 def _zones_from_relations_fn(ways_ref, nodes_ref):
     """relations batch → Zone rows: member ways/nodes resolved against the
-    broadcast tables (vectorized ``index_in`` + ``take`` per batch), then
-    the per-relation ring-assembly loop — ZERO shuffles end-to-end."""
-    from ..functions.broadcast import get_cached_transformed, lookup_int_indices
-
-    def prep_ways(tbl: pa.Table) -> dict:
-        return {
-            "xs": tbl["xs"].combine_chunks(),
-            "ys": tbl["ys"].combine_chunks(),
-        }
-
-    def prep_nodes(tbl: pa.Table) -> dict:
-        return {
-            "lon": tbl["lon"].combine_chunks(),
-            "lat": tbl["lat"].combine_chunks(),
-            "tags": tbl["tags"].combine_chunks(),
-        }
+    broadcast CSR packs (presorted ids → direct ``searchsorted``; way
+    coordinates sliced as numpy VIEWS), then the per-relation ring-assembly
+    loop — ZERO shuffles end-to-end and zero per-worker setup (round 4:
+    the former per-worker concat + argsort + bulk Arrow→pylist conversion
+    was ~30% of the stage's CPU at 32 workers and grew with worker count)."""
+    from ..functions.broadcast import get_cached, lookup_sorted_ids
 
     def fn(batch: pa.Table) -> pa.Table:
         batch = _filter_relations(batch)
         if batch.num_rows == 0:
             return _empty_zone_table()
-        w = get_cached_transformed(ways_ref, "ways", prep_ways)
-        nd = get_cached_transformed(nodes_ref, "nodes", prep_nodes)
+        w = get_cached(ways_ref)
+        nd = get_cached(nodes_ref)
+        woffs, wxs, wys = w["offs"], w["xs"], w["ys"]
         mem = batch["members"].combine_chunks()
         flat = mem.flatten()
         roles = pc.struct_field(flat, "role").to_pylist()
         kinds = pc.struct_field(flat, "ref_kind").to_pylist()
         refs = pc.struct_field(flat, "ref_id").to_numpy(zero_copy_only=False)
-        widx = lookup_int_indices(ways_ref, "osm_id", refs)
-        nidx = lookup_int_indices(nodes_ref, "osm_id", refs)
-        # bulk-take per batch, ONE to_pylist each — per-member scalar
-        # ``Array[i].as_py()`` cost ~3.4 ms/relation (measured); bulk
-        # conversion is ~10× cheaper per element
-        wtake = pa.array(np.maximum(widx, 0), type=pa.int64())
-        xs_py = pc.take(w["xs"], wtake).to_pylist()
-        ys_py = pc.take(w["ys"], wtake).to_pylist()
-        ntake = pa.array(np.maximum(nidx, 0), type=pa.int64())
-        ntags_py = pc.take(nd["tags"], ntake).to_pylist()
-        nlon = pc.take(nd["lon"], ntake).to_numpy(zero_copy_only=False)
-        nlat = pc.take(nd["lat"], ntake).to_numpy(zero_copy_only=False)
+        widx = lookup_sorted_ids(w["ids"], refs)
+        nidx = lookup_sorted_ids(nd["ids"], refs)
+        nlon, nlat = nd["lon"], nd["lat"]
+        ntags = nd["tags"]
         offs = mem.offsets.to_numpy(zero_copy_only=False)
         rel_ids = batch["osm_id"].to_pylist()
         rel_tags = batch["tags"].to_pylist()
@@ -480,10 +497,11 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             for j in range(lo, hi):
                 kind = kinds[j]
                 if kind == "way" and widx[j] >= 0:
-                    xs = xs_py[j]
-                    if xs is None or len(xs) < 2:
+                    r = widx[j]
+                    s, e = woffs[r], woffs[r + 1]
+                    if e - s < 2:
                         continue
-                    seg = np.column_stack([xs, ys_py[j]])
+                    seg = np.column_stack([wxs[s:e], wys[s:e]])
                     if roles[j] == "inner":
                         inner_segs.append(seg)
                     else:  # outer / enclave / empty role all treated as outer
@@ -499,7 +517,8 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             zraw = pc1_v[i] or pc2_v[i] or ""
             if label_node is not None:
                 tags = dict(tags_out)
-                for k, v in dict(ntags_py[label_node] or []).items():
+                lt = ntags[int(nidx[label_node])].as_py()
+                for k, v in dict(lt or []).items():
                     if k.startswith("name:") or k == "population":
                         tags.setdefault(k, v)
                 tags_out = tags.items()
@@ -511,8 +530,9 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             bbox = multipolygon_bbox(mpoly)
             center_j = centre_node if centre_node is not None else label_node
             if center_j is not None:
-                center = (float(nlon[center_j]), float(nlat[center_j]))
-                center_tags = sorted(ntags_py[center_j] or [])
+                ci = int(nidx[center_j])
+                center = (float(nlon[ci]), float(nlat[ci]))
+                center_tags = sorted(ntags[ci].as_py() or [])
             else:
                 center = multipolygon_centroid(mpoly)
                 if not (np.isfinite(center[0]) and np.isfinite(center[1])):
@@ -595,13 +615,23 @@ def assemble_zones_broadcast(
     is an embarrassingly-parallel ``map_batches`` over the relations table.
     Scale bound: ways+nodes of the admin closure must fit in the object
     store (the reference's own operating point, src/lib.rs:243-249); use
-    ``cfg.assembly_mode="distributed"`` beyond that."""
+    ``cfg.assembly_mode="distributed"`` beyond that.
+
+    Broadcast handles are presorted CSR numpy PACKS built by single Ray
+    tasks from the materialized block refs: the bytes never cross the
+    driver, workers read them zero-copy from the object store, and the
+    per-worker concat/argsort setup of the table-broadcast design is gone
+    (it cost ~30% of the stage CPU at 32 workers and grew with workers)."""
     import ray
 
-    nodes_tbl = _collect_table(nodes)
-    nodes_ref = ray.put(nodes_tbl)
+    node_src = nodes.select_columns(["osm_id", "lon", "lat", "tags"])
+    nodes_ref = ray.remote(_build_node_pack).remote(
+        *node_src.materialize().to_arrow_refs()
+    )
     way_geo = ways.map_batches(_way_geo_fn(nodes_ref), batch_format="pyarrow")
-    ways_ref = ray.put(_collect_table(way_geo))
+    ways_ref = ray.remote(_build_way_pack).remote(
+        *way_geo.materialize().to_arrow_refs()
+    )
     rel_zones = relations.map_batches(
         _zones_from_relations_fn(ways_ref, nodes_ref), batch_format="pyarrow"
     )

@@ -128,16 +128,19 @@ def test_way_geo_drops_dangling_node_refs(ray_session):
     coordinates only (inner-join semantics, same as the distributed path)."""
     import ray
 
-    from cosmogony_ray.stages.zone_build import _way_geo_fn
+    from cosmogony_ray.stages.zone_build import _build_node_pack, _way_geo_fn
 
+    tag_t = pa.list_(pa.struct([("key", pa.string()), ("value", pa.string())]))
     nodes = pa.table(
         {
-            "osm_id": pa.array([1, 2, 3], type=pa.int64()),
-            "lon": pa.array([10.0, 11.0, 12.0]),
-            "lat": pa.array([20.0, 21.0, 22.0]),
+            # unsorted on purpose: the pack builder sorts
+            "osm_id": pa.array([2, 1, 3], type=pa.int64()),
+            "lon": pa.array([11.0, 10.0, 12.0]),
+            "lat": pa.array([21.0, 20.0, 22.0]),
+            "tags": pa.array([[], [], []], type=tag_t),
         }
     )
-    ref = ray.put(nodes)
+    ref = ray.put(_build_node_pack(nodes))
     fn = _way_geo_fn(ref)
     batch = pa.table(
         {
