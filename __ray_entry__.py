@@ -657,6 +657,55 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic hash sampling — the reproducible subsetting op a
+    training-data pipeline uses for eval splits / pilot runs: keep a doc iff
+    a Knuth multiplicative hash of its id lands in the first 10% of buckets.
+    Pure map-side (no shuffle, no RNG state); the SAME rows are selected at
+    any parallelism, any block layout, any run — and the oracle computes the
+    identical hash in SQL (HUGEINT modular arithmetic)."""
+    docs = _docs_ds(sf_dir)
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        keep = (h % np.uint64(100)) < 10
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(sample, batch_format="pyarrow").select_columns(
+        ["doc_id"]
+    )
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Grouped top-k (window row_number semantics, functions/relops.py):
+    the 3 longest documents per predicted language, ties broken by doc_id.
+    One hash shuffle on the group key; vectorized rank inside partitions."""
+    from cosmogony_ray.functions.relops import grouped_top_k
+    from cosmogony_ray.functions.textops import lang_id, text_stats
+
+    docs = _docs_ds(sf_dir)
+    langs = lang_id(docs)
+    stats = text_stats(docs).select_columns(["doc_id", "n_chars"])
+
+    # align the two per-doc tables batch-wise via a hash join on doc_id
+    from cosmogony_ray.functions.joins import hash_join
+
+    joined = hash_join(
+        langs,
+        stats,
+        "doc_id",
+        left_schema=pa.schema([("doc_id", pa.int64()), ("pred_lang", pa.string())]),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]),
+    )
+    return grouped_top_k(
+        joined,
+        ["pred_lang"],
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        3,
+    )
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -695,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _q_dedup_clusters,
         "purchase_attribution": _q_purchase_attribution,
         "events_hourly": _q_events_hourly,
+        "doc_sample": _q_doc_sample,
+        "top_docs_per_lang": _q_top_docs_per_lang,
     }
 
 
@@ -907,6 +958,32 @@ SELECT event_type,
        SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents,
        COUNT(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2
+""",
+        # Knuth multiplicative hash in HUGEINT modular arithmetic — the
+        # exact integer computation the Ray side does in uint64/uint32
+        "doc_sample": """
+SELECT doc_id FROM documents
+WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) % 100 < 10
+""",
+        "top_docs_per_lang": f"""
+WITH {_TEXT_STATS_CTE},
+langs AS (
+  SELECT doc_id,
+         CASE WHEN greatest(n_stop_de, n_stop_en, n_stop_fr) = 0 THEN 'und'
+              WHEN n_stop_de = greatest(n_stop_de, n_stop_en, n_stop_fr) THEN 'de'
+              WHEN n_stop_en = greatest(n_stop_de, n_stop_en, n_stop_fr) THEN 'en'
+              ELSE 'fr' END AS pred_lang,
+         n_chars
+  FROM stats
+),
+ranked AS (
+  SELECT doc_id, pred_lang, n_chars,
+         row_number() OVER (
+           PARTITION BY pred_lang ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM langs
+)
+SELECT doc_id, pred_lang, n_chars FROM ranked WHERE rn <= 3
 """,
         # dedup_minhash / dedup_simhash / embedding_dups / rolling_fingerprint
         # (raw list form) / knn_lsh / knn_ivf: deterministic but not

@@ -228,3 +228,51 @@ class TestTumblingWindow:
             ("a", day + 3600, 110, 2),
             ("b", day + 3600, 7, 1),
         }
+
+
+class TestGroupedTopK:
+    def test_rank_semantics(self, ray_session):
+        from cosmogony_ray.functions.relops import grouped_top_k
+
+        t = pa.table(
+            {
+                "g": ["a"] * 5 + ["b"] * 2 + ["c"],
+                "x": pa.array([5, 3, 9, 9, 1, 2, 2, 7], type=pa.int64()),
+                "id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], type=pa.int64()),
+            }
+        )
+        out = (
+            grouped_top_k(
+                rd.from_arrow(t),
+                ["g"],
+                [("x", "descending"), ("id", "ascending")],
+                2,
+            )
+            .to_pandas()
+            .sort_values(["g", "x", "id"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        got = list(zip(out["g"], out["x"], out["id"]))
+        # a: 9@3, 9@4 (tie by id); b: both rows (k > group); c: single row
+        assert got == [("a", 9, 3), ("a", 9, 4), ("b", 2, 6), ("b", 2, 7), ("c", 7, 8)]
+
+    def test_parity_with_pandas_rank(self, ray_session):
+        from cosmogony_ray.functions.relops import grouped_top_k
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {
+                "g": rng.randint(0, 40, 3000).astype(np.int64),
+                "x": rng.randint(0, 50, 3000).astype(np.int64),
+                "id": np.arange(3000, dtype=np.int64),
+            }
+        )
+        exp = (
+            df.sort_values(["g", "x", "id"], ascending=[True, False, True])
+            .groupby("g")
+            .head(5)
+        )
+        out = grouped_top_k(
+            rd.from_pandas(df), ["g"], [("x", "descending"), ("id", "ascending")], 5
+        ).to_pandas()
+        assert sorted(out["id"]) == sorted(exp["id"])
