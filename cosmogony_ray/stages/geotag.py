@@ -761,7 +761,6 @@ def build_zone_index(zones: rd.Dataset, cfg: EngineConfig, pack_ref=None):
 
     if pack_ref is None:
         pack_ref = build_geom_pack(zones, cfg)
-    pack = ray.get(pack_ref)
 
     def thin_meta(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in _META_COLS}
@@ -773,13 +772,25 @@ def build_zone_index(zones: rd.Dataset, cfg: EngineConfig, pack_ref=None):
     meta = materialized_table(
         zones.map_batches(thin_meta, batch_format="pyarrow")
     )
+    # only the pack's ID COLUMN reaches the driver (for the delta check) —
+    # the edge arrays stay in the object store; the index build itself runs
+    # as one Ray task (round 4: the former driver get + from_pack + re-put
+    # round-tripped the full pack through driver heap on every build)
+    pack_ids = ray.get(ray.remote(lambda p: p["osm_id"]).remote(pack_ref))
     if meta.num_rows:
-        pk = _pc.index_in(meta["osm_id"], value_set=pack["osm_id"])
+        pk = _pc.index_in(meta["osm_id"], value_set=pack_ids)
         missing = _pc.and_(meta["has_wkb"], _pc.is_null(pk))
         miss_ids = meta["osm_id"].filter(missing)
         if len(miss_ids):
-            pack = _merge_delta_pack(pack, zones, miss_ids, cfg)
-    return ray.put(ZoneIndexData.from_pack(pack, meta, cfg))
+            # rare path (voronoi-generated zones created after the build
+            # pack): small delta, merged driver-side as before
+            pack = _merge_delta_pack(ray.get(pack_ref), zones, miss_ids, cfg)
+            return ray.put(ZoneIndexData.from_pack(pack, meta, cfg))
+    return ray.remote(_index_from_pack_task).remote(pack_ref, meta, cfg)
+
+
+def _index_from_pack_task(pack: dict, meta: pa.Table, cfg) -> "ZoneIndexData":
+    return ZoneIndexData.from_pack(pack, meta, cfg)
 
 
 def _merge_delta_pack(pack: dict, zones: rd.Dataset, miss_ids, cfg) -> dict:

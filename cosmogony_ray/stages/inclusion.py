@@ -167,12 +167,23 @@ def build_geom_pack(zones: rd.Dataset, cfg: EngineConfig | None = None):
             rows["area"].append(float(areas[i]))
         return pa.table(rows, schema=pack_schema)
 
-    from ..functions.arrowtools import materialized_table
-
     packed = zones.select_columns(["osm_id", "boundary_wkb", "area"]).map_batches(
         parse_batch, batch_format="pyarrow"
     )
-    tbl = materialized_table(packed.materialize(), schema=pack_schema)
+    # pack assembly (concat + flatten + cell-index argsort) runs as ONE Ray
+    # task over the materialized block refs — the edge arrays never cross
+    # the driver (round 4; the driver pull + re-put was ~100 MB of serial,
+    # CPU-count-independent work at the 349k-zone world) and the returned
+    # ObjectRef is broadcast exactly as the ray.put ref was
+    refs = packed.materialize().to_arrow_refs()
+    return ray.remote(_assemble_geom_pack).remote(cfg, pack_schema, *refs)
+
+
+def _assemble_geom_pack(cfg: EngineConfig, pack_schema: pa.Schema, *tbls) -> dict:
+    tbl = pa.concat_tables(
+        [t for t in tbls if t.num_rows] or [pack_schema.empty_table()],
+        promote_options="default",
+    ).combine_chunks()
     counts = tbl["n"].to_numpy(zero_copy_only=False)
     off = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=off[1:])
@@ -220,7 +231,7 @@ def build_geom_pack(zones: rd.Dataset, cfg: EngineConfig | None = None):
     else:
         pack["bcell"] = np.array([], dtype=np.int64)
         pack["bzone"] = np.array([], dtype=np.int64)
-    return ray.put(pack)
+    return pack
 
 
 def _candidates_fn(pack_ref, cfg: EngineConfig):
