@@ -259,3 +259,34 @@ def test_new_country_rules_e2e(ray_session, tmp_path):
     # SK maps 2→country, 4→state, 6→state_district; grid levels 3 and 5
     # have no SK rule → untyped → cleaned (P11)
     assert counts == {"country": 1, "state": 16, "state_district": 256}
+
+
+def test_round4_batch_countries_type_expected_levels():
+    """Spot-check the second round-4 corpus batch (the 141 files completing
+    ISO-3166-1 coverage): representative level→type mappings resolve through
+    the real ZoneTyper for a spread of government shapes — federal (ye),
+    city-state (mc), parish-based (je), SAR (hk), and a plain 4/6/8 country
+    (hr)."""
+    import os
+
+    from cosmogony_ray.state.rules import ZoneTyper
+
+    rules_dir = os.path.join(
+        os.path.dirname(__file__), "..", "cosmogony_ray", "assets", "rules"
+    )
+    typer = ZoneTyper.from_dir(rules_dir)
+    expected = {
+        ("HR", 2): "country",
+        ("HR", 4): "state",
+        ("HR", 6): "city",
+        ("YE", 6): "state_district",
+        ("YE", 8): "city",
+        ("MC", 10): "suburb",
+        ("JE", 8): "city",
+        ("HK", 6): "city_district",
+        ("VA", 2): "country",
+        ("BQ", 4): "state",
+    }
+    for (cc, lvl), want in expected.items():
+        got = typer.get_zone_type(f"relation:{lvl}", lvl, cc, [])
+        assert got == ("ok", want), (cc, lvl, got, want)
