@@ -657,6 +657,37 @@ def _q_events_hourly(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate (2 h window hopping every 1 h): each event
+    lands in exactly two overlapping windows; the oracle performs the same
+    expansion with a lateral range join. Shares the prep/int-cents
+    convention with events_hourly."""
+    from cosmogony_ray.functions.temporal import sliding_window_agg
+
+    ev = _read_sf(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "ts": t["ts"],
+                "value_cents": pa.array(
+                    _cents(t["value"].to_numpy(zero_copy_only=False)), type=pa.int64()
+                ),
+            }
+        )
+
+    return sliding_window_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ts_col="ts",
+        window_s=7200,
+        slide_s=3600,
+        keys=["event_type"],
+        sums={"sum_value_cents": "value_cents"},
+        counts="n_events",
+    )
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic hash sampling — the reproducible subsetting op a
     training-data pipeline uses for eval splits / pilot runs: keep a doc iff
@@ -746,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "doc_sample": _q_doc_sample,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "events_sliding": _q_events_sliding,
     }
 
 
@@ -958,6 +990,17 @@ SELECT event_type,
        SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents,
        COUNT(*)::BIGINT AS n_events
 FROM events GROUP BY 1, 2
+""",
+        # sliding window = the same per-event expansion the engine does,
+        # as a lateral range join: each event joins j in {0,1} and lands in
+        # window (latest_start - j*slide)
+        "events_sliding": """
+SELECT event_type,
+       (epoch_us(ts) // 3600000000) * 3600 - j.j * 3600 AS window_start_s,
+       SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT))::BIGINT AS sum_value_cents,
+       COUNT(*)::BIGINT AS n_events
+FROM events, range(0, 2) j(j)
+GROUP BY 1, 2
 """,
         # Knuth multiplicative hash in HUGEINT modular arithmetic — the
         # exact integer computation the Ray side does in uint64/uint32

@@ -156,3 +156,41 @@ def tumbling_window_agg(
 
     windowed = ds.map_batches(add_window, batch_format="pyarrow")
     return partial_groupby_sum(windowed, keys + [window_col], sums, counts=counts)
+
+
+def sliding_window_agg(
+    ds: rd.Dataset,
+    *,
+    ts_col: str,
+    window_s: int,
+    slide_s: int,
+    keys: list[str],
+    sums: dict[str, str],
+    counts: str | None = None,
+    window_col: str = "window_start_s",
+) -> rd.Dataset:
+    """Sliding (hopping) window aggregate: every event contributes to the
+    ``window_s / slide_s`` overlapping windows that cover it (``window_s``
+    must be an exact multiple of ``slide_s``). Expansion is one vectorized
+    ``np.repeat`` per batch — k rows per event BEFORE the per-batch partial
+    aggregation, so the shuffle still moves one row per (key, window) per
+    block, never k× the event stream. Window starts are int64 epoch
+    seconds, same convention as ``tumbling_window_agg``."""
+    if window_s % slide_s != 0:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+    slide_us = np.int64(slide_s) * np.int64(1_000_000)
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t[ts_col])
+        w0 = (ts // slide_us) * np.int64(slide_s)  # latest start covering ts
+        n = len(ts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        w = np.repeat(w0, k) - np.tile(
+            np.arange(k, dtype=np.int64) * np.int64(slide_s), n
+        )
+        out = t.take(pa.array(idx))
+        return out.append_column(window_col, pa.array(w, type=pa.int64()))
+
+    exploded = ds.map_batches(explode_windows, batch_format="pyarrow")
+    return partial_groupby_sum(exploded, keys + [window_col], sums, counts=counts)

@@ -276,3 +276,38 @@ class TestGroupedTopK:
             rd.from_pandas(df), ["g"], [("x", "descending"), ("id", "ascending")], 5
         ).to_pandas()
         assert sorted(out["id"]) == sorted(exp["id"])
+
+    def test_sliding_window_coverage(self, ray_session):
+        from cosmogony_ray.functions.temporal import sliding_window_agg
+
+        T = lambda s: np.datetime64(f"2024-01-01T{s}", "us").item()
+        t = pa.table(
+            {
+                "k": ["a", "a"],
+                "ts": pa.array([T("02:00:00"), T("02:59:59")], type=pa.timestamp("us")),
+                "x": pa.array([1, 10], type=pa.int64()),
+            }
+        )
+        out = (
+            sliding_window_agg(
+                rd.from_arrow(t),
+                ts_col="ts",
+                window_s=7200,
+                slide_s=3600,
+                keys=["k"],
+                sums={"sx": "x"},
+                counts="n",
+            )
+            .to_pandas()
+        )
+        day = int(np.datetime64("2024-01-01", "s").astype(np.int64))
+        rows = set(zip(out["window_start_s"].astype(int), out["sx"].astype(int), out["n"].astype(int)))
+        # both events are in hour 02; each covers windows starting 01:00 and 02:00
+        assert rows == {(day + 3600, 11, 2), (day + 7200, 11, 2)}
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            sliding_window_agg(
+                rd.from_arrow(t), ts_col="ts", window_s=5000, slide_s=3600,
+                keys=["k"], sums={"sx": "x"},
+            )
