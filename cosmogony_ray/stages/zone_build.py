@@ -574,36 +574,6 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
     return fn
 
 
-def _zone_row(rel_id, tags, name, mpoly, bbox, center, center_tags) -> dict:
-    return {
-        "osm_id": f"relation:{rel_id}",
-        "zone_uid": f"relation:{rel_id}",
-        "kind": "relation",
-        "name": name,
-        "admin_level": _parse_level(tags.get("admin_level")),
-        "zone_type": None,
-        "loc_name": tags.get("loc_name", ""),
-        "alt_name": tags.get("alt_name", ""),
-        "zip_codes": _parse_zips(tags),
-        "wikidata": tags.get("wikidata"),
-        "tags": sorted(tags.items()),
-        "center_tags": sorted(center_tags.items()),
-        "center_lon": center[0],
-        "center_lat": center[1],
-        "boundary_wkb": multipolygon_to_wkb(mpoly),
-        "minx": bbox[0],
-        "miny": bbox[1],
-        "maxx": bbox[2],
-        "maxy": bbox[3],
-        "area": multipolygon_area(mpoly),
-        "is_generated": False,
-        "country_code": None,
-        "parent": None,
-        "label": "",
-        "international_labels": _EMPTY_TAGS,
-    }
-
-
 def assemble_zones_broadcast(
     relations: rd.Dataset,
     ways: rd.Dataset,
