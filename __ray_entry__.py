@@ -555,6 +555,21 @@ def _q_dedup_clusters(sf_dir: str):
     )
 
 
+def _q_dedup_kept_docs(sf_dir: str):
+    """The dedup loop CLOSED: blocking → connected components → corpus
+    filter. A document survives iff it is its cluster's canonical keeper
+    (doc_id == cluster_id — the component minimum). Composes the
+    dedup_clusters pipeline with one vectorized filter; at corpus scale
+    the filter is the only stage that touches document bytes."""
+    labels = _q_dedup_clusters(sf_dir)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["doc_id"], t["cluster_id"])
+        return t.filter(m).select(["doc_id"])
+
+    return labels.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_purchase_attribution(sf_dir: str):
     """As-of join (custom operator per the engine brief): every 'click'
     event attributed to the SAME USER's latest 'purchase' at-or-before the
@@ -778,6 +793,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "events_sliding": _q_events_sliding,
+        "dedup_kept_docs": _q_dedup_kept_docs,
     }
 
 
@@ -970,6 +986,33 @@ reach AS (
 )
 SELECT node AS doc_id, MIN(lbl)::BIGINT AS cluster_id
 FROM reach GROUP BY node
+""",
+        # keeper filter over the same recursive-CTE fixpoint
+        "dedup_kept_docs": r"""
+WITH RECURSIVE
+fp AS (
+  SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS h
+  FROM documents
+),
+st AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+e1 AS (SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY h) AS v FROM fp),
+e2 AS (SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY n_chars, n_tokens) AS v FROM st),
+edges AS (
+  SELECT u, v FROM e1 WHERE u <> v
+  UNION
+  SELECT u, v FROM e2 WHERE u <> v
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT s.u AS node, r.lbl FROM sym s JOIN reach r ON r.node = s.v
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(lbl)
 """,
         # as-of join: DuckDB's native ASOF (inner) JOIN is the oracle; the
         # right side is pre-aggregated to unique (user_id, ts) with MAX-cents
