@@ -94,3 +94,13 @@ def explode_list_column(
         pos = np.arange(offsets[-1], dtype=np.int64) - np.repeat(offsets[:-1], counts)
         out[pos_col] = pa.array(pos, type=pa.int32())
     return pa.table(out)
+
+
+def dataset_pa_schema(ds) -> pa.Schema:
+    """pyarrow schema of a Dataset (Ray's Schema wrapper unwrapped; falls
+    back to rebuilding from names/types for non-Arrow-backed datasets)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([(n, t) for n, t in zip(s.names, s.types)])

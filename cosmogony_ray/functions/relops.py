@@ -80,9 +80,10 @@ def grouped_top_k(
     import numpy as np
     import pyarrow as pa
 
+    from .arrowtools import dataset_pa_schema
     from .shuffle import partitioned_map
 
-    schema = getattr(ds.schema(), "base_schema", None)
+    schema = dataset_pa_schema(ds)
 
     def per_partition(t: pa.Table) -> pa.Table:
         t = t.sort_by([(c, "ascending") for c in keys] + list(order_by))

@@ -65,12 +65,7 @@ def asof_join(
     last-seen right row index with ``np.maximum.accumulate``, and null out
     matches that crossed a ``by`` boundary. No per-key Python loop.
     """
-    def _pa_schema(ds: rd.Dataset) -> pa.Schema:
-        s = ds.schema()
-        base = getattr(s, "base_schema", None)
-        return base if isinstance(base, pa.Schema) else pa.schema(
-            [(n, t) for n, t in zip(s.names, s.types)]
-        )
+    from .arrowtools import dataset_pa_schema as _pa_schema
 
     left_schema = _pa_schema(left)
     left_names = list(left_schema.names)
