@@ -89,3 +89,30 @@ def test_popcount_and_triu_helpers():
     # cache returns the same arrays
     ia2, _ = _triu_idx(4)
     assert ia2 is ia
+
+
+def test_minhash_pairs_to_clusters_integration(ray_session):
+    """The dedup family composed end-to-end: minhash LSH pairs → connected
+    components → every emitted pair lands in one cluster, uniques stay
+    isolated. Two planted dup groups (different texts) must NOT merge."""
+    import ray.data as rd
+
+    from cosmogony_ray.functions.dedup import minhash_lsh_pairs
+    from cosmogony_ray.functions.graph import connected_components
+
+    texts = ["common header shared by the first duplicate family of pages here"] * 40
+    texts += ["a second distinct boilerplate paragraph repeated across other pages"] * 30
+    texts += [
+        f"singleton text {i} about topic {i * 3} with extra words {i * 11}"
+        for i in range(20)
+    ]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)})
+    pairs = minhash_lsh_pairs(rd.from_arrow(t))
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").to_pandas()
+    lab = dict(zip(labels["node"], labels["cluster_id"]))
+    # family 1 = docs 0..39 -> cluster 0; family 2 = docs 40..69 -> cluster 40
+    assert all(lab[i] == 0 for i in range(40))
+    assert all(lab[i] == 40 for i in range(40, 70))
+    # singletons emit no pairs -> absent from the label table
+    assert all(i not in lab for i in range(70, 90))
