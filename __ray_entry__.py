@@ -570,6 +570,94 @@ def _q_dedup_kept_docs(sf_dir: str):
     return labels.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """Standalone n-gram-Jaccard VERIFY surface, value-oracle-checked: for
+    every shape-signature-blocked candidate pair, the exact distinct-token
+    intersection and union sizes. The minhash path's verifier
+    (dedup._verify_joined_pairs) uses hashed shingles and is rows-only;
+    this query pins the same verify shape (blocking → pair text join →
+    per-pair set kernel) against a DuckDB unnest/join formulation with
+    integer outputs. Pairs where either side has zero tokens drop (both
+    formulations)."""
+    import re
+
+    from cosmogony_ray.functions.graph import equality_star_edges
+    from cosmogony_ray.functions.joins import hash_join
+    from cosmogony_ray.functions.textops import text_stats
+
+    docs = _docs_ds(sf_dir)
+    stats = text_stats(docs).select_columns(["doc_id", "n_chars", "n_tokens"])
+    pairs = equality_star_edges(stats, ["n_chars", "n_tokens"])
+
+    left = pairs.map_batches(
+        lambda t: pa.table({"doc_id": t["u"], "u": t["u"], "v": t["v"]}),
+        batch_format="pyarrow",
+    )
+    j1 = hash_join(
+        left,
+        docs,
+        "doc_id",
+        left_schema=pa.schema(
+            [("doc_id", pa.int64()), ("u", pa.int64()), ("v", pa.int64())]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    ).map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"], "doc_id": t["v"], "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(
+        j1,
+        docs,
+        "doc_id",
+        left_schema=pa.schema(
+            [
+                ("u", pa.int64()),
+                ("v", pa.int64()),
+                ("doc_id", pa.int64()),
+                ("text_a", pa.string()),
+            ]
+        ),
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+
+    token_re = re.compile(r"[A-Za-z0-9]+")
+    out_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("inter_tokens", pa.int64()),
+            ("union_tokens", pa.int64()),
+        ]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ta = t["text_a"].to_pylist()
+        tb = t["text"].to_pylist()
+        n = t.num_rows
+        inter = np.zeros(n, dtype=np.int64)
+        union = np.zeros(n, dtype=np.int64)
+        keep = np.zeros(n, dtype=bool)
+        for i, (a, b) in enumerate(zip(ta, tb)):
+            sa = set(token_re.findall(a or ""))
+            sb = set(token_re.findall(b or ""))
+            if not sa or not sb:
+                continue
+            keep[i] = True
+            inter[i] = len(sa & sb)
+            union[i] = len(sa | sb)
+        return pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "inter_tokens": pa.array(inter, type=pa.int64()),
+                "union_tokens": pa.array(union, type=pa.int64()),
+            },
+            schema=out_schema,
+        ).filter(pa.array(keep))
+
+    return j2.map_batches(kernel, batch_format="pyarrow")
+
+
 def _q_purchase_attribution(sf_dir: str):
     """As-of join (custom operator per the engine brief): every 'click'
     event attributed to the SAME USER's latest 'purchase' at-or-before the
@@ -794,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "events_sliding": _q_events_sliding,
         "dedup_kept_docs": _q_dedup_kept_docs,
+        "jaccard_pairs": _q_jaccard_pairs,
     }
 
 
@@ -1013,6 +1102,33 @@ reach AS (
   SELECT s.u AS node, r.lbl FROM sym s JOIN reach r ON r.node = s.v
 )
 SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(lbl)
+""",
+        # exact distinct-token Jaccard counts over the shape-blocked pairs
+        "jaccard_pairs": """
+WITH st AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+         length(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tokens
+  FROM documents
+),
+pairs AS (
+  SELECT u, v FROM (
+    SELECT doc_id AS u, MIN(doc_id) OVER (PARTITION BY n_chars, n_tokens) AS v FROM st
+  ) WHERE u <> v
+),
+tok AS (SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS tk FROM documents),
+cnt AS (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT p.u, p.v, COUNT(*) AS i
+  FROM pairs p JOIN tok a ON a.doc_id = p.u JOIN tok b ON b.doc_id = p.v AND b.tk = a.tk
+  GROUP BY p.u, p.v
+)
+SELECT p.u, p.v,
+       COALESCE(i.i, 0)::BIGINT AS inter_tokens,
+       (ca.c + cb.c - COALESCE(i.i, 0))::BIGINT AS union_tokens
+FROM pairs p
+JOIN cnt ca ON ca.doc_id = p.u
+JOIN cnt cb ON cb.doc_id = p.v
+LEFT JOIN inter i ON i.u = p.u AND i.v = p.v
 """,
         # as-of join: DuckDB's native ASOF (inner) JOIN is the oracle; the
         # right side is pre-aggregated to unique (user_id, ts) with MAX-cents
