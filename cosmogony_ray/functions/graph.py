@@ -206,7 +206,12 @@ def connected_components(
         )
 
     # at fixpoint the edges are stars (member -> component minimum); the
-    # center labels itself
+    # center labels itself. Guard the star property instead of assuming it:
+    # a node appearing on BOTH sides would mean a two-level chain survived
+    # (a -> b, b -> c), and the label emission below would then hand node a
+    # a stale cluster id. One cheap hash-partitioned disjointness pass.
+    _assert_star_fixpoint(edges)
+
     def to_labels(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
         v = t["v"].to_numpy(zero_copy_only=False)
@@ -219,6 +224,54 @@ def connected_components(
 
     labels = edges.map_batches(to_labels, batch_format="pyarrow")
     return distinct_rows(labels, ["node", "cluster_id"])
+
+
+def _assert_star_fixpoint(edges: rd.Dataset) -> None:
+    """Raise if any node appears both as a member (u) and a center (v) —
+    i.e. the converged edge set is not a union of stars. Hash-partitioned
+    side-tag union + per-partition disjointness count; cost is one pass
+    over the (small) dedup graph."""
+    tag_schema = pa.schema([("node", pa.int64()), ("side", pa.int8())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([u, v]), type=pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(u), np.int8), np.ones(len(v), np.int8)]
+                    )
+                ),
+            },
+            schema=tag_schema,
+        )
+
+    out_schema = pa.schema([("bad", pa.int64())])
+
+    def count_both(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("node", "ascending"), ("side", "ascending")])
+        node = t["node"].to_numpy(zero_copy_only=False)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        n = len(node)
+        starts = _run_starts(node)
+        ends = np.append(starts[1:], n)
+        both = int(np.sum((side[starts] == 0) & (side[ends - 1] == 1)))
+        return pa.table({"bad": pa.array([both], type=pa.int64())}, schema=out_schema)
+
+    bad = partitioned_map(
+        edges.map_batches(tag, batch_format="pyarrow"),
+        ["node"],
+        count_both,
+        empty_schema=out_schema,
+    ).sum("bad")
+    if bad:
+        raise RuntimeError(
+            f"connected_components: non-star fixpoint ({bad} nodes appear as "
+            "both member and center) — labels would be wrong; increase "
+            "max_rounds or report a bug"
+        )
 
 
 def equality_star_edges(

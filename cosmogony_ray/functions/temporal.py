@@ -69,6 +69,11 @@ def asof_join(
 
     left_schema = _pa_schema(left)
     left_names = list(left_schema.names)
+    if set(value_cols) & set(left_names):
+        raise ValueError(
+            f"value_cols {sorted(set(value_cols) & set(left_names))} collide "
+            "with left columns — rename the right-side value columns first"
+        )
     out_fields = [(n, left_schema.field(n).type) for n in left_names]
     right_schema = _pa_schema(right)
     out_fields += [(c, right_schema.field(c).type) for c in value_cols]
