@@ -570,6 +570,31 @@ def _q_dedup_kept_docs(sf_dir: str):
     return labels.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_customers_without_orders(sf_dir: str):
+    """Anti join (NOT EXISTS) — hash_join(how='anti'): customers with NO
+    order above 200k (the unfiltered anti join is empty in this synthetic
+    data — every customer has orders). Membership test per partition
+    (vectorized isin), no pair expansion; the semi variant is the same
+    partition kernel with the mask un-negated."""
+    from cosmogony_ray.functions.joins import hash_join
+
+    cust = _read_sf(sf_dir, "customer", ["c_custkey"])
+    orders = _read_sf(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.greater(t["o_totalprice"], 200000.0))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        how="anti",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Standalone n-gram-Jaccard VERIFY surface, value-oracle-checked: for
     every shape-signature-blocked candidate pair, the exact distinct-token
@@ -883,6 +908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "dedup_kept_docs": _q_dedup_kept_docs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "customers_without_orders": _q_customers_without_orders,
     }
 
 
@@ -1102,6 +1128,13 @@ reach AS (
   SELECT s.u AS node, r.lbl FROM sym s JOIN reach r ON r.node = s.v
 )
 SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(lbl)
+""",
+        "customers_without_orders": """
+SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
 """,
         # exact distinct-token Jaccard counts over the shape-blocked pairs
         "jaccard_pairs": """

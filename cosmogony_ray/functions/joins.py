@@ -34,13 +34,15 @@ def hash_join(
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Join two Datasets on ``key`` (same name both sides), preserving nested
-    column types. ``how``: "inner" or "left" (left outer).
+    column types. ``how``: "inner", "left" (left outer), "semi" (left rows
+    WITH a match — left columns only), or "anti" (left rows WITHOUT a match
+    — left columns only; the EXISTS / NOT EXISTS filters).
 
     Column names (other than the key) must be disjoint between the sides.
     Pass ``left_schema``/``right_schema`` when known to avoid the sample
     execution that ``Dataset.schema()`` triggers on lazy map chains.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
     from .shuffle import default_num_partitions
 
@@ -59,7 +61,12 @@ def hash_join(
         + [(c, rtypes[c]) for c in rcols]
         + [(_SIDE, pa.int8())]
     )
-    out_schema = pa.schema([(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in rcols])
+    if how in ("semi", "anti"):
+        out_schema = pa.schema([(c, ltypes[c]) for c in lcols])
+    else:
+        out_schema = pa.schema(
+            [(c, ltypes[c]) for c in lcols] + [(c, rtypes[c]) for c in rcols]
+        )
 
     def pad(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -92,6 +99,14 @@ def hash_join(
         rt = g.filter(pa.array(~lmask)).select([key] + rcols)
         if lt.num_rows == 0:
             return out_schema.empty_table()
+        if how in ("semi", "anti"):
+            # membership test only — one vectorized isin against the
+            # partition's right keys, no pair expansion
+            lk_np = lt[key].to_pandas()
+            rset = rt[key].to_pandas().unique()
+            matched = lk_np.isin(rset).to_numpy()
+            keep = matched if how == "semi" else ~matched
+            return lt.filter(pa.array(keep))
         lk = pd.DataFrame(
             {key: lt[key].to_pandas(), "__li": np.arange(lt.num_rows, dtype=np.int64)}
         )

@@ -311,3 +311,29 @@ class TestGroupedTopK:
                 rd.from_arrow(t), ts_col="ts", window_s=5000, slide_s=3600,
                 keys=["k"], sums={"sx": "x"},
             )
+
+
+class TestSemiAntiJoin:
+    def test_semi_and_anti(self, ray_session):
+        from cosmogony_ray.functions.joins import hash_join
+
+        left = pa.table(
+            {"k": pa.array([1, 2, 3, 4], type=pa.int64()), "x": ["a", "b", "c", "d"]}
+        )
+        right = pa.table(
+            {"k": pa.array([2, 2, 4, 9], type=pa.int64()), "y": [1, 2, 3, 4]}
+        )
+        ls = pa.schema([("k", pa.int64()), ("x", pa.string())])
+        rs = pa.schema([("k", pa.int64()), ("y", pa.int64())])
+        semi = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", how="semi",
+            left_schema=ls, right_schema=rs,
+        ).to_pandas()
+        anti = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", how="anti",
+            left_schema=ls, right_schema=rs,
+        ).to_pandas()
+        # semi: left columns only, one row per matching left row (no dup blowup)
+        assert sorted(semi.columns) == ["k", "x"]
+        assert sorted(semi["k"]) == [2, 4]
+        assert sorted(anti["k"]) == [1, 3]
