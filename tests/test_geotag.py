@@ -115,3 +115,32 @@ def test_write_tiles_partitioned(ray_session, mini_lux_dir, tmp_path):
     back = rd.read_parquet(out).to_pandas()
     orig = rd.read_parquet(os.path.join(mini_lux_dir, "docs.parquet")).to_pandas()
     assert len(back) == sum(len(s) for s in orig["spans"])
+
+
+def test_actor_and_task_modes_identical(ray_session, mini_lux_dir):
+    """geotag_mode="actors" (the SURVEY §7.2 actor-pool shape, kept for
+    deployments that want bounded per-stage resources) must produce
+    byte-identical tile assignments to the round-4 task-pool default."""
+    import pandas as pd
+
+    cfg_t = EngineConfig(rules_dir=os.path.join(mini_lux_dir, "rules"))
+    cosmo = build_cosmogony(mini_lux_dir, cfg_t, with_stats=False)
+    idx_ref = build_zone_index(cosmo.zones, cfg_t)
+    docs = rd.read_parquet(os.path.join(mini_lux_dir, "docs.parquet"))
+
+    def flat(cfg):
+        out = geotag_docs(docs, idx_ref, cfg).to_pandas()
+        out = out.sort_values("doc_id").reset_index(drop=True)
+        return out["doc_id"].tolist(), [
+            [(t["span_index"], t["zone_osm_id"], t["cell_id"]) for t in tiles]
+            for tiles in out["tiles"]
+        ]
+
+    import dataclasses
+
+    cfg_a = dataclasses.replace(cfg_t, geotag_mode="actors")
+    assert cfg_a.geotag_mode == "actors" and cfg_t.geotag_mode == "tasks"
+    ids_t, tiles_t = flat(cfg_t)
+    ids_a, tiles_a = flat(cfg_a)
+    assert ids_t == ids_a
+    assert tiles_t == tiles_a
