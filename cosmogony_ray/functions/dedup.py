@@ -648,3 +648,41 @@ def embedding_dup_pairs(
         rows, ["table", "bucket"], per_partition, empty_schema=_EDP_SCHEMA
     )
     return distinct_rows(cands, ["id_a", "id_b"])
+
+
+def apply_dedup(
+    docs: rd.Dataset,
+    pairs: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> rd.Dataset:
+    """The dedup loop as ONE call: duplicate pairs (from any emitter in this
+    module — minhash/simhash/embedding — or any blocking relation) →
+    connected components → corpus filtered to one keeper per cluster (the
+    component-minimum id; docs in no pair pass through untouched).
+
+    100-TB shape: clustering runs entirely over the pair graph (the small
+    derivative); the corpus-side filter is a single ANTI join against the
+    non-keeper id set — document bytes never enter the clustering loop and
+    stream through exactly one membership probe."""
+    from .arrowtools import dataset_pa_schema
+    from .graph import connected_components
+    from .joins import hash_join
+
+    labels = connected_components(pairs, src=src, dst=dst)
+
+    def non_keepers(t: pa.Table) -> pa.Table:
+        drop = pc.not_equal(t["node"], t["cluster_id"])
+        return pa.table({id_col: t.filter(drop)["node"]})
+
+    dropped = labels.map_batches(non_keepers, batch_format="pyarrow")
+    return hash_join(
+        docs,
+        dropped,
+        id_col,
+        how="anti",
+        left_schema=dataset_pa_schema(docs),
+        right_schema=pa.schema([(id_col, pa.int64())]),
+    )

@@ -132,6 +132,61 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    by: str,
+    ts: str,
+    start: str,
+    end: str,
+    value_cols: list[str],
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Range join for NON-OVERLAPPING intervals per ``by`` key: attach
+    ``value_cols`` of the interval containing each point
+    (``start <= ts <= end`` inclusive); null when none. Built on
+    ``asof_join`` (match the latest interval start at-or-before the point,
+    then validate the end bound) — O(n log n) per partition, no interval
+    expansion. Overlapping intervals per key need a bucket-expansion join
+    (the inclusion cell join's shape); this operator raises no error for
+    them but matches only the latest-starting candidate, so callers must
+    guarantee disjointness (e.g. session spans, maintenance windows)."""
+    iv = intervals.map_batches(
+        lambda t: t.rename_columns([ts if c == start else c for c in t.column_names]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        points,
+        iv,
+        by=by,
+        on=ts,
+        value_cols=[end] + value_cols,
+        num_partitions=num_partitions,
+    )
+
+    def bound(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.is_valid(t[end]),
+            pc.less_equal(
+                t[ts].cast(pa.timestamp("us")) if pa.types.is_timestamp(t[ts].type) else t[ts],
+                t[end].cast(pa.timestamp("us")) if pa.types.is_timestamp(t[end].type) else t[end],
+            ),
+        )
+        out = {}
+        for c in t.column_names:
+            if c == end:
+                continue
+            out[c] = (
+                pc.if_else(pc.fill_null(ok, False), t[c], pa.nulls(t.num_rows, t[c].type))
+                if c in value_cols
+                else t[c]
+            )
+        return pa.table(out)
+
+    return joined.map_batches(bound, batch_format="pyarrow")
+
+
 def tumbling_window_agg(
     ds: rd.Dataset,
     *,

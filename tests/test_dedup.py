@@ -116,3 +116,19 @@ def test_minhash_pairs_to_clusters_integration(ray_session):
     assert all(lab[i] == 40 for i in range(40, 70))
     # singletons emit no pairs -> absent from the label table
     assert all(i not in lab for i in range(70, 90))
+
+
+def test_apply_dedup_end_to_end(ray_session):
+    """apply_dedup keeps exactly one doc per duplicate family (the min id)
+    and passes uniques through."""
+    import ray.data as rd
+
+    from cosmogony_ray.functions.dedup import apply_dedup, minhash_lsh_pairs
+
+    t = _boilerplate_table(50, 10)  # docs 0..49 duplicates, 50..59 unique
+    docs = rd.from_arrow(t)
+    pairs = minhash_lsh_pairs(docs)
+    kept = apply_dedup(docs, pairs).to_pandas()
+    assert sorted(kept["doc_id"]) == [0] + list(range(50, 60))
+    # full row survives (text column intact)
+    assert set(kept.columns) == {"doc_id", "text"}

@@ -337,3 +337,52 @@ class TestSemiAntiJoin:
         assert sorted(semi.columns) == ["k", "x"]
         assert sorted(semi["k"]) == [2, 4]
         assert sorted(anti["k"]) == [1, 3]
+
+
+class TestIntervalJoin:
+    def test_containment_semantics_vs_bruteforce(self, ray_session):
+        from cosmogony_ray.functions.temporal import interval_join
+
+        rng = np.random.RandomState(11)
+        base = np.datetime64("2024-01-01", "us")
+        # non-overlapping intervals per key: sorted starts with gaps
+        iv_rows = []
+        for u in range(8):
+            t0 = 0
+            for k in range(12):
+                t0 += rng.randint(1, 5) * 10**6
+                s = t0
+                t0 += rng.randint(1, 5) * 10**6
+                iv_rows.append((u, s, t0, u * 100 + k))
+        iv = pa.table(
+            {
+                "u": pa.array([r[0] for r in iv_rows], type=pa.int64()),
+                "s": pa.array([base + np.timedelta64(r[1], "us") for r in iv_rows], type=pa.timestamp("us")),
+                "e": pa.array([base + np.timedelta64(r[2], "us") for r in iv_rows], type=pa.timestamp("us")),
+                "iv_id": pa.array([r[3] for r in iv_rows], type=pa.int64()),
+            }
+        )
+        n_p = 600
+        pts = pa.table(
+            {
+                "pid": pa.array(np.arange(n_p), type=pa.int64()),
+                "u": pa.array(rng.randint(0, 8, n_p), type=pa.int64()),
+                "ts": pa.array(
+                    [base + np.timedelta64(int(x), "us") for x in rng.randint(0, 10**8, n_p)],
+                    type=pa.timestamp("us"),
+                ),
+            }
+        )
+        out = interval_join(
+            rd.from_arrow(pts), rd.from_arrow(iv), by="u", ts="ts",
+            start="s", end="e", value_cols=["iv_id"],
+        ).to_pandas().set_index("pid")
+
+        ivd = iv.to_pandas()
+        ptd = pts.to_pandas()
+        for _, p in ptd.iterrows():
+            hits = ivd[(ivd.u == p.u) & (ivd.s <= p.ts) & (p.ts <= ivd.e)]
+            want = None if hits.empty else int(hits.iloc[0].iv_id)
+            got = out.loc[p.pid, "iv_id"]
+            got = None if pd.isna(got) else int(got)
+            assert got == want, (p.pid, got, want)
