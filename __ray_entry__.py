@@ -595,6 +595,28 @@ def _q_customers_without_orders(sf_dir: str):
     )
 
 
+def _q_customers_with_big_orders(sf_dir: str):
+    """Semi join (EXISTS) — the mask-complement of the anti query: customers
+    with at least one order above 200k."""
+    from cosmogony_ray.functions.joins import hash_join
+
+    cust = _read_sf(sf_dir, "customer", ["c_custkey"])
+    orders = _read_sf(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.greater(t["o_totalprice"], 200000.0))["o_custkey"]}
+        ),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust,
+        orders,
+        "c_custkey",
+        how="semi",
+        left_schema=pa.schema([("c_custkey", pa.int64())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]),
+    )
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Standalone n-gram-Jaccard VERIFY surface, value-oracle-checked: for
     every shape-signature-blocked candidate pair, the exact distinct-token
@@ -909,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_kept_docs": _q_dedup_kept_docs,
         "jaccard_pairs": _q_jaccard_pairs,
         "customers_without_orders": _q_customers_without_orders,
+        "customers_with_big_orders": _q_customers_with_big_orders,
     }
 
 
@@ -1132,6 +1155,13 @@ SELECT node AS doc_id FROM reach GROUP BY node HAVING node = MIN(lbl)
         "customers_without_orders": """
 SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+)
+""",
+        "customers_with_big_orders": """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
 )
