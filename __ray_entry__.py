@@ -146,6 +146,42 @@ def _q_geotag_docs(sf_dir: str):
     return tagged.map_batches(flat, batch_format="pyarrow")
 
 
+def _q_raster_zone_counts(sf_dir: str):
+    """Vector→raster (the north_rule's raster↔vector family,
+    stages/raster.py): the mini-lux rect world burned onto a 64×64 pixel
+    grid over its [0,8]² extent — pixel center → smallest covering zone by
+    the engine's (rank, area, osm_id) argmin, exactly the geotag
+    semantics — then pixel counts per zone. The oracle generates the same
+    pixel centers in SQL and applies the same rect-cover argmin."""
+    from cosmogony_ray.functions.relops import partial_groupby_sum
+    from cosmogony_ray.stages.geotag import build_zone_index
+    from cosmogony_ray.stages.raster import rasterize_zones
+
+    cosmo = _cosmo()
+    if "zindex" not in _CACHE:
+        _CACHE["zindex"] = build_zone_index(
+            cosmo.zones, _CACHE["cfg"], pack_ref=cosmo.geom_pack_ref
+        )
+    ras = rasterize_zones(
+        _CACHE["zindex"], bbox=(0.0, 0.0, 8.0, 8.0), width=64, height=64, tile_px=32
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["zone_osm_id"]))
+        return pa.table(
+            {
+                "zone_osm_id": t["zone_osm_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return partial_groupby_sum(
+        ras.map_batches(prep, batch_format="pyarrow"),
+        ["zone_osm_id"],
+        {"n_pixels": "one"},
+    )
+
+
 # --------------------------------------------------------------- relational
 
 
@@ -932,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard_pairs,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
+        "raster_zone_counts": _q_raster_zone_counts,
     }
 
 
@@ -963,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_type_counts": oracle.sql_zone_type_counts(),
         "zone_labels": f"SELECT * FROM (VALUES {label_vals}) AS t(osm_id, label)",
         "geotag_docs": oracle.sql_geotag_docs(),
+        "raster_zone_counts": oracle.sql_raster_zone_counts(),
         # NOTE: every SUM is wrapped in an outer ::BIGINT cast — DuckDB's
         # SUM(BIGINT) returns HUGEINT which pandas renders as float64, and
         # the driver's value hash distinguishes int64 from float64 (this was

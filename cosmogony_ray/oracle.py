@@ -151,3 +151,30 @@ SELECT doc_id, osm_id AS zone_osm_id FROM hit
 UNION ALL
 SELECT doc_id, osm_id AS zone_osm_id FROM knn WHERE rn = 1
 """
+
+
+def sql_raster_zone_counts(width: int = 64, height: int = 64) -> str:
+    """Oracle for vector→raster: the same pixel centers the engine samples
+    ((px+0.5)·8/W over the [0,8]² rect-world extent — 8/64 = 0.125 is a
+    power of two, so both sides compute bit-identical float64 centers),
+    assigned by the same (rank, area, osm_id) argmin over covering rects,
+    counted per zone. Pixel centers never land on rect boundaries (centers
+    are odd multiples of 1/16; boundaries are multiples of 1/2)."""
+    dx = 8.0 / width
+    dy = 8.0 / height
+    return f"""
+WITH pts AS (
+  SELECT a.range AS px, b.range AS py,
+         (a.range + 0.5) * {dx!r} AS lon, (b.range + 0.5) * {dy!r} AS lat
+  FROM range({width}) a, range({height}) b
+),
+{zones_values_cte(typed_only=True)},
+cover AS (
+  SELECT p.px, p.py, z.osm_id,
+         ROW_NUMBER() OVER (PARTITION BY p.px, p.py ORDER BY z.rank, z.area, z.osm_id) AS rn
+  FROM pts p JOIN zones z
+    ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+)
+SELECT osm_id AS zone_osm_id, COUNT(*)::BIGINT AS n_pixels
+FROM cover WHERE rn = 1 GROUP BY 1
+"""

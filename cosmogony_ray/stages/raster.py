@@ -1,0 +1,315 @@
+"""Raster ↔ vector conversion over Ray Data — the last operator family the
+engine brief names (north_rule: "spatial-join + tiling engine (H3/S2 index,
+point-in-polygon, kNN, raster↔vector)"). No reference counterpart
+(/root/reference is vector-only); both directions are from-scratch
+compositions of this engine's own primitives:
+
+- **vector → raster** (``rasterize_zones``): burn the zone MultiPolygons
+  onto a regular lon/lat pixel grid. A raster is just a STRUCTURED point
+  set, so the kernel is the geotag stage's point→zone machinery
+  (``GeotagActor._containing_zone`` — flat multi-zone PIP over the
+  broadcast index, per-pixel cost independent of zone count), run as a
+  task-pool ``map_batches`` over pixel TILES. Output is the long-form
+  (px, py, zone) pixel table, tiled so a planet-scale raster streams
+  block-by-block and can be sunk to hive-partitioned parquet per tile.
+
+- **raster → vector** (``vectorize_raster``): extract connected
+  same-value regions. Shape: per-row run-length encoding (one hash
+  shuffle on py so every raster row is whole), vertical run-adjacency
+  edges via banded row replication (each band processes its row pairs
+  locally — only band-boundary rows are replicated, the classic halo
+  exchange), then the dedup family's own ``connected_components`` merges
+  runs into regions, and a final grouped pass emits per-region bbox +
+  pixel counts. Every step is a bounded shuffle over RUNS (the compressed
+  form), never over raw pixels after the first pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.broadcast import get_cached_transformed
+from ..functions.shuffle import partitioned_map
+
+RASTER_SCHEMA = pa.schema(
+    [("px", pa.int32()), ("py", pa.int32()), ("zone_osm_id", pa.string())]
+)
+
+_RUN_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.int64()),
+        ("py", pa.int32()),
+        ("x0", pa.int32()),
+        ("x1", pa.int32()),  # inclusive
+        ("value", pa.string()),
+        ("band", pa.int32()),
+        ("ghost", pa.bool_()),
+    ]
+)
+
+_EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+REGION_SCHEMA = pa.schema(
+    [
+        ("region_id", pa.int64()),
+        ("value", pa.string()),
+        ("min_px", pa.int32()),
+        ("min_py", pa.int32()),
+        ("max_px", pa.int32()),
+        ("max_py", pa.int32()),
+        ("n_pixels", pa.int64()),
+    ]
+)
+
+
+def rasterize_zones(
+    index_ref,
+    *,
+    bbox: tuple[float, float, float, float],
+    width: int,
+    height: int,
+    tile_px: int = 256,
+    knn_fill: bool = False,
+) -> rd.Dataset:
+    """Zone-id raster over ``bbox`` at ``width × height`` pixels → long-form
+    (px, py, zone_osm_id) Dataset, one task per ``tile_px``-square tile.
+
+    Pixel (px, py) samples the zone containing its CENTER
+    (x0 + (px+0.5)·dx, y0 + (py+0.5)·dy) — smallest covering zone by the
+    engine's (rank, area, osm_id) argmin, null when no zone covers it
+    (``knn_fill=True`` assigns the nearest admin centroid instead, the
+    geotag fallback). ``index_ref`` is a ``build_zone_index`` broadcast."""
+    from .geotag import GeotagActor
+
+    x0, y0, x1, y1 = bbox
+    dx = (x1 - x0) / width
+    dy = (y1 - y0) / height
+    tiles = [
+        {"tx": tx, "ty": ty}
+        for ty in range(0, height, tile_px)
+        for tx in range(0, width, tile_px)
+    ]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        actor: GeotagActor = get_cached_transformed(
+            index_ref, "raster_actor", lambda idx: GeotagActor(idx=idx)
+        )
+        txs = batch["tx"].to_numpy(zero_copy_only=False)
+        tys = batch["ty"].to_numpy(zero_copy_only=False)
+        out_px, out_py, out_zone = [], [], []
+        for tx, ty in zip(txs, tys):
+            w = min(tile_px, width - tx)
+            h = min(tile_px, height - ty)
+            px = (tx + np.arange(w, dtype=np.int32))[None, :].repeat(h, 0).ravel()
+            py = (ty + np.arange(h, dtype=np.int32))[:, None].repeat(w, 1).ravel()
+            lon = x0 + (px + 0.5) * dx
+            lat = y0 + (py + 0.5) * dy
+            zone_i = actor._containing_zone(lon, lat)
+            if knn_fill:
+                miss = np.nonzero(zone_i < 0)[0]
+                if miss.size:
+                    zone_i[miss] = actor._knn_fallback_batch(lon[miss], lat[miss])
+            ids = pa.array(actor.idx.ids, type=pa.string())
+            zs = ids.take(pa.array(np.where(zone_i >= 0, zone_i, 0), type=pa.int64()))
+            zs = pc.if_else(pa.array(zone_i >= 0), zs, pa.scalar(None, pa.string()))
+            out_px.append(px)
+            out_py.append(py)
+            out_zone.append(zs)
+        return pa.table(
+            {
+                "px": pa.array(np.concatenate(out_px), type=pa.int32()),
+                "py": pa.array(np.concatenate(out_py), type=pa.int32()),
+                "zone_osm_id": pa.concat_arrays(
+                    [z.combine_chunks() if isinstance(z, pa.ChunkedArray) else z for z in out_zone]
+                ),
+            },
+            schema=RASTER_SCHEMA,
+        )
+
+    return rd.from_items(tiles).map_batches(fn, batch_format="pyarrow")
+
+
+def _extract_runs(width: int, band_rows: int, value_col: str):
+    """Per-py-partition pass: pixels → maximal horizontal same-value runs.
+    run_id = py·width + x0 (globally unique, no coordination). Emits each
+    run once to its own band, plus a GHOST copy to the band below when the
+    run sits on a band's first row (so every (py, py+1) row pair is whole
+    in exactly one band partition)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value_col]))
+        if t.num_rows == 0:
+            return _RUN_SCHEMA.empty_table()
+        t = t.sort_by([("py", "ascending"), ("px", "ascending")])
+        py = t["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = t["px"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t[value_col].to_numpy(zero_copy_only=False)
+        n = len(py)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (py[1:] != py[:-1]) | (px[1:] != px[:-1] + 1) | (val[1:] != val[:-1])
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], n) - 1
+        r_py = py[starts]
+        r_x0 = px[starts]
+        r_x1 = px[ends]
+        r_val = val[starts]
+        run_id = r_py * np.int64(width) + r_x0
+        band = (r_py // band_rows).astype(np.int64)
+
+        def tbl(pyv, x0v, x1v, vv, idv, bandv, ghost):
+            return pa.table(
+                {
+                    "run_id": pa.array(idv, type=pa.int64()),
+                    "py": pa.array(pyv, type=pa.int32()),
+                    "x0": pa.array(x0v, type=pa.int32()),
+                    "x1": pa.array(x1v, type=pa.int32()),
+                    "value": pa.array(list(vv), type=pa.string()),
+                    "band": pa.array(bandv, type=pa.int32()),
+                    "ghost": pa.array(np.full(len(idv), ghost)),
+                },
+                schema=_RUN_SCHEMA,
+            )
+
+        own = tbl(r_py, r_x0, r_x1, r_val, run_id, band, False)
+        first_row = (r_py % band_rows == 0) & (band > 0)
+        if first_row.any():
+            g = np.nonzero(first_row)[0]
+            ghost = tbl(
+                r_py[g], r_x0[g], r_x1[g], r_val[g], run_id[g], band[g] - 1, True
+            )
+            return pa.concat_tables([own, ghost]).combine_chunks()
+        return own
+
+    return fn
+
+
+def _band_edges(t: pa.Table) -> pa.Table:
+    """Per-band partition: adjacency edges between same-value runs of
+    vertically adjacent rows. Interval-overlap matching is searchsorted
+    range expansion per row pair (runs within a row are disjoint and
+    sorted), then a vectorized value-equality filter."""
+    if t.num_rows == 0:
+        return _EDGE_SCHEMA.empty_table()
+    t = t.sort_by([("py", "ascending"), ("x0", "ascending")])
+    py = t["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x0 = t["x0"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x1 = t["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
+    rid = t["run_id"].to_numpy(zero_copy_only=False)
+    val = t["value"].to_numpy(zero_copy_only=False)
+    rows, row_starts = np.unique(py, return_index=True)
+    row_ends = np.append(row_starts[1:], len(py))
+    out_u, out_v = [], []
+    for i in range(len(rows) - 1):
+        if rows[i + 1] != rows[i] + 1:
+            continue
+        a0, a1 = row_starts[i], row_ends[i]
+        b0, b1 = row_starts[i + 1], row_ends[i + 1]
+        ax0, ax1 = x0[a0:a1], x1[a0:a1]
+        bx0, bx1 = x0[b0:b1], x1[b0:b1]
+        lo = np.searchsorted(bx1, ax0, side="left")
+        hi = np.searchsorted(bx0, ax1, side="right")
+        cnt = np.maximum(hi - lo, 0)
+        if cnt.sum() == 0:
+            continue
+        a_rep = np.repeat(np.arange(a1 - a0), cnt)
+        offs = np.concatenate(([0], np.cumsum(cnt)))
+        b_idx = np.arange(offs[-1]) - np.repeat(offs[:-1], cnt) + np.repeat(lo, cnt)
+        same = val[a0:a1][a_rep] == val[b0:b1][b_idx]
+        out_u.append(rid[a0:a1][a_rep][same])
+        out_v.append(rid[b0:b1][b_idx][same])
+    if not out_u:
+        return _EDGE_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "u": pa.array(np.concatenate(out_u), type=pa.int64()),
+            "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def vectorize_raster(
+    raster: rd.Dataset,
+    *,
+    width: int,
+    value_col: str = "zone_osm_id",
+    band_rows: int = 64,
+) -> rd.Dataset:
+    """raster → vector: connected same-value regions (4-connectivity) →
+    one row per region with its value, pixel bbox and pixel count.
+    region_id = the region's minimum run_id (= py·width + x0 of its
+    top-left-most run) — deterministic and parallelism-invariant. Null
+    pixels are background (no region)."""
+    from ..functions.graph import connected_components
+    from ..functions.joins import hash_join
+
+    runs_all = partitioned_map(
+        raster, ["py"], _extract_runs(width, band_rows, value_col),
+        empty_schema=_RUN_SCHEMA,
+    ).materialize()
+
+    def not_ghost(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["ghost"], False)).drop_columns(["band", "ghost"])
+
+    runs = runs_all.map_batches(not_ghost, batch_format="pyarrow")
+    edges = partitioned_map(
+        runs_all, ["band"], _band_edges, empty_schema=_EDGE_SCHEMA
+    )
+    labels = connected_components(edges)
+
+    lbl_renamed = labels.map_batches(
+        lambda t: pa.table(
+            {"run_id": t["node"], "region_id": t["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        runs,
+        lbl_renamed,
+        "run_id",
+        how="left",
+        left_schema=pa.schema(
+            [(f.name, f.type) for f in _RUN_SCHEMA if f.name not in ("band", "ghost")]
+        ),
+        right_schema=pa.schema([("run_id", pa.int64()), ("region_id", pa.int64())]),
+    )
+
+    def with_default_region(t: pa.Table) -> pa.Table:
+        region = pc.coalesce(t["region_id"], t["run_id"])
+        return t.set_column(
+            t.schema.get_field_index("region_id"), "region_id", region
+        )
+
+    resolved = joined.map_batches(with_default_region, batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        tt = t.sort_by([("region_id", "ascending")])
+        reg = tt["region_id"].to_numpy(zero_copy_only=False)
+        n = len(reg)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = reg[1:] != reg[:-1]
+        starts = np.nonzero(new)[0]
+        x0 = tt["x0"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x1 = tt["x1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pyv = tt["py"].to_numpy(zero_copy_only=False).astype(np.int64)
+        npx = x1 - x0 + 1
+        return pa.table(
+            {
+                "region_id": pa.array(reg[starts], type=pa.int64()),
+                "value": tt["value"].take(pa.array(starts, type=pa.int64())),
+                "min_px": pa.array(np.minimum.reduceat(x0, starts), type=pa.int32()),
+                "min_py": pa.array(np.minimum.reduceat(pyv, starts), type=pa.int32()),
+                "max_px": pa.array(np.maximum.reduceat(x1, starts), type=pa.int32()),
+                "max_py": pa.array(np.maximum.reduceat(pyv, starts), type=pa.int32()),
+                "n_pixels": pa.array(np.add.reduceat(npx, starts), type=pa.int64()),
+            },
+            schema=REGION_SCHEMA,
+        )
+
+    return partitioned_map(resolved, ["region_id"], agg, empty_schema=REGION_SCHEMA)
