@@ -338,3 +338,22 @@ def vectorize_raster(
         )
 
     return partitioned_map(resolved, ["region_id"], agg, empty_schema=REGION_SCHEMA)
+
+
+def write_raster_tiles(raster: rd.Dataset, out_dir: str, *, tile_px: int = 256) -> None:
+    """Tiled raster sink: hive-partitioned parquet
+    ``out_dir/tile_y=<ty>/tile_x=<tx>/...`` — one directory per pixel tile
+    so a planet raster is resumable (rerun skips finished tiles) and
+    downstream readers can push down tile-range filters, the same layout
+    discipline as the geotag tile sink (stages/geotag.write_tiles) and the
+    IVF partitioned index (functions/similarity.ivf_write_partitioned)."""
+
+    def add_tile(t: pa.Table) -> pa.Table:
+        px = t["px"].to_numpy(zero_copy_only=False)
+        py = t["py"].to_numpy(zero_copy_only=False)
+        t = t.append_column("tile_x", pa.array(px // tile_px, type=pa.int32()))
+        return t.append_column("tile_y", pa.array(py // tile_px, type=pa.int32()))
+
+    raster.map_batches(add_tile, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["tile_y", "tile_x"]
+    )

@@ -144,3 +144,24 @@ def _raster_from_grid_df(df, width):
             }
         )
     )
+
+
+def test_write_raster_tiles_partitioned(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cosmogony_ray.stages.raster import write_raster_tiles
+
+    ras = _raster_from_grid(["aaaa", "aabb", "bbbb", "...."])
+    out = str(tmp_path / "tiles")
+    write_raster_tiles(ras, out, tile_px=2)
+    # 4x4 raster at tile_px=2 -> 2x2 tile dirs
+    dirs = sorted(
+        f"{ty}/{tx}"
+        for ty in os.listdir(out)
+        for tx in os.listdir(os.path.join(out, ty))
+    )
+    assert dirs == ["tile_y=0/tile_x=0", "tile_y=0/tile_x=1", "tile_y=1/tile_x=0", "tile_y=1/tile_x=1"]
+    back = pq.read_table(out)
+    assert back.num_rows == 16
