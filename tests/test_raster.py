@@ -165,3 +165,31 @@ def test_write_raster_tiles_partitioned(ray_session, tmp_path):
     assert dirs == ["tile_y=0/tile_x=0", "tile_y=0/tile_x=1", "tile_y=1/tile_x=0", "tile_y=1/tile_x=1"]
     back = pq.read_table(out)
     assert back.num_rows == 16
+
+
+def test_rasterize_knn_fill(ray_session, mini_lux_dir):
+    """knn_fill=True assigns outside-world pixels the nearest admin
+    centroid (the geotag fallback) instead of null."""
+    import os
+
+    from cosmogony_ray.config import EngineConfig
+    from cosmogony_ray.pipelines.cosmogony import build_cosmogony
+    from cosmogony_ray.stages.geotag import build_zone_index
+    from cosmogony_ray.stages.raster import rasterize_zones
+
+    cfg = EngineConfig(rules_dir=os.path.join(mini_lux_dir, "rules"))
+    cosmo = build_cosmogony(mini_lux_dir, cfg, with_stats=False)
+    idx_ref = build_zone_index(cosmo.zones, cfg, pack_ref=cosmo.geom_pack_ref)
+    # bbox extends well past the [0,8]^2 world -> the outer ring of pixels
+    # is outside every boundary
+    kw = dict(bbox=(-8.0, -8.0, 24.0, 24.0), width=16, height=16, tile_px=8)
+    plain = rasterize_zones(idx_ref, knn_fill=False, **kw).to_pandas()
+    filled = rasterize_zones(idx_ref, knn_fill=True, **kw).to_pandas()
+    assert plain["zone_osm_id"].isna().sum() > 0
+    assert filled["zone_osm_id"].isna().sum() == 0
+    # where the plain raster had a zone, knn_fill must not change it
+    m = plain["zone_osm_id"].notna()
+    key = ["px", "py"]
+    a = plain[m].sort_values(key)["zone_osm_id"].tolist()
+    b = filled.merge(plain[m][key], on=key).sort_values(key)["zone_osm_id"].tolist()
+    assert a == b
