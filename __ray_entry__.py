@@ -923,6 +923,15 @@ def _q_top_docs_per_lang(sf_dir: str):
     )
 
 
+def _q_clean_text(sf_dir: str):
+    """Corpus text normalization (functions/textops.clean_text): markup
+    stripped, whitespace collapsed, lowercased — value-oracle-checked
+    string-for-string against the identical DuckDB regexp_replace chain."""
+    from cosmogony_ray.functions.textops import clean_text
+
+    return clean_text(_docs_ds(sf_dir))
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -969,6 +978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "raster_zone_counts": _q_raster_zone_counts,
+        "clean_text": _q_clean_text,
     }
 
 
@@ -1057,6 +1067,11 @@ SELECT doc_id,
             WHEN n_stop_en = greatest(n_stop_de, n_stop_en, n_stop_fr) THEN 'en'
             ELSE 'fr' END AS pred_lang
 FROM stats
+""",
+        "clean_text": r"""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_text
+FROM documents
 """,
         "fingerprint_md5": r"""
 SELECT doc_id,

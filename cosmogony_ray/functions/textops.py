@@ -162,3 +162,20 @@ def rolling_fingerprint(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def clean_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Training-corpus text normalization (map-side, zero shuffle):
+    markup-ish tags stripped to spaces, whitespace collapsed, trimmed,
+    lowercased — each step an Arrow RE2/string kernel, and each
+    DuckDB-mirrorable 1:1 (regexp_replace/lower/trim; DuckDB is RE2 too,
+    so the patterns mean the same thing on both sides). Output:
+    (doc_id, clean_text)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.replace_substring_regex(t[text_col], r"<[^>]*>", " ")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_lower(pc.utf8_trim_whitespace(s))
+        return pa.table({"doc_id": t["doc_id"], "clean_text": s})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -386,3 +386,20 @@ class TestIntervalJoin:
             got = out.loc[p.pid, "iv_id"]
             got = None if pd.isna(got) else int(got)
             assert got == want, (p.pid, got, want)
+
+
+def test_clean_text_markup_and_whitespace(ray_session):
+    from cosmogony_ray.functions.textops import clean_text
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": [
+                "  <p>Hello <b>World</b></p>\n\tmore   TEXT ",
+                "no markup",
+            ],
+        }
+    )
+    out = clean_text(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "clean_text"] == "hello world more text"
+    assert out.loc[2, "clean_text"] == "no markup"
