@@ -190,14 +190,20 @@ def _cents(x):
 
 
 def _read_sf(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Parallel-friendly read: the driver testdata parquet files have ONE
+    """Parallel-friendly read. The driver testdata parquet files have ONE
     row group, so a bare read_parquet is a single task and every fused map
-    after it runs serially. Split into ~16k-row blocks and materialize so
-    downstream stages parallelize."""
+    after it runs serially; for THAT pathology only, split into ~16k-row
+    blocks and materialize (bounded: a single-row-group file is at most a
+    few hundred MB by construction). A properly laid-out input — many row
+    groups / many files, the 100-TB case — streams through a plain
+    read_parquet untouched: never materialize the corpus."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    rows = pq.ParquetFile(path).metadata.num_rows
+    md = pq.ParquetFile(path).metadata
+    if md.num_row_groups > 1:
+        return rd.read_parquet(path, columns=columns)
+    rows = md.num_rows
     blocks = max(1, min(64, rows // 16384))
     ds = rd.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
     return ds.materialize() if blocks > 1 else ds
