@@ -481,6 +481,16 @@ def _q_media_features(sf_dir: str):
     return feats.select_columns(["doc_id", "span_index", "kind", "n_bytes"])
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling (stubbed decode, real explode plumbing) —
+    rows-only check: one row per sampled frame, deterministic count."""
+    from cosmogony_ray.functions.multimodal import sample_frames
+
+    docs = rd.read_parquet(os.path.join(_fixture_dir(), "docs.parquet"))
+    frames = sample_frames(docs, stride=2)
+    return frames.select_columns(["doc_id", "span_index", "frame_index"])
+
+
 def _q_user_sessions(sf_dir: str):
     """Sessionization (streaming-shaped op per ray_guide): per user, events
     sorted by ts; a gap > 30 min starts a new session. Hash-partitioned by
@@ -973,6 +983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "user_sessions": _q_user_sessions,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         "dedup_clusters": _q_dedup_clusters,
         "purchase_attribution": _q_purchase_attribution,
         "events_hourly": _q_events_hourly,
