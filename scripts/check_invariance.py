@@ -39,7 +39,13 @@ tiles_sig = [
     (r["doc_id"], tuple(t["zone_osm_id"] for t in r["tiles"]))
     for _, r in tdf.iterrows()
 ]
-print(json.dumps({"zones": zones_sig, "tiles": [[d, list(z)] for d, z in tiles_sig]}))
+# round-4 operator family: connected-components dedup clustering must be
+# parallelism-invariant too (star fixpoint + deterministic tie-breaks)
+import __ray_entry__ as entry
+cdf = entry.queries()["dedup_clusters"]("/root/testdata/sf0.01").to_pandas()
+cdf = cdf.sort_values("doc_id").reset_index(drop=True)
+clusters_sig = [(int(r["doc_id"]), int(r["cluster_id"])) for _, r in cdf.iterrows()]
+print(json.dumps({"zones": zones_sig, "tiles": [[d, list(z)] for d, z in tiles_sig], "clusters": clusters_sig}))
 ray.shutdown()
 '''
 
@@ -63,18 +69,21 @@ def main():
     b = run(hi)
     same_zones = a["zones"] == b["zones"]
     same_tiles = a["tiles"] == b["tiles"]
+    same_clusters = a["clusters"] == b["clusters"]
     print(
         json.dumps(
             {
                 "zones_identical": same_zones,
                 "tiles_identical": same_tiles,
+                "clusters_identical": same_clusters,
                 "n_zones": len(a["zones"]),
                 "n_docs": len(a["tiles"]),
+                "n_clustered_docs": len(a["clusters"]),
                 "cpus": [lo, hi],
             }
         )
     )
-    sys.exit(0 if same_zones and same_tiles else 1)
+    sys.exit(0 if same_zones and same_tiles and same_clusters else 1)
 
 
 if __name__ == "__main__":
