@@ -403,3 +403,30 @@ def test_clean_text_markup_and_whitespace(ray_session):
     out = clean_text(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     assert out.loc[1, "clean_text"] == "hello world more text"
     assert out.loc[2, "clean_text"] == "no markup"
+
+
+def test_asof_join_string_keys(ray_session):
+    """The by-key may be a string column (object-dtype lexsort path)."""
+    from cosmogony_ray.functions.temporal import asof_join
+
+    lt = pa.table(
+        {
+            "id": pa.array([1, 2], type=pa.int64()),
+            "u": ["alice", "bob"],
+            "ts": pa.array([100, 100], type=pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "u": ["alice", "bob", "bob"],
+            "ts": pa.array([50, 40, 99], type=pa.int64()),
+            "val": pa.array([7, 8, 9], type=pa.int64()),
+        }
+    )
+    out = (
+        asof_join(rd.from_arrow(lt), rd.from_arrow(rt), by="u", on="ts", value_cols=["val"])
+        .to_pandas()
+        .set_index("id")
+    )
+    assert int(out.loc[1, "val"]) == 7
+    assert int(out.loc[2, "val"]) == 9
