@@ -430,3 +430,29 @@ def test_asof_join_string_keys(ray_session):
     )
     assert int(out.loc[1, "val"]) == 7
     assert int(out.loc[2, "val"]) == 9
+
+
+def test_sliding_total_mass_is_k_times_tumbling(ray_session):
+    """Invariant: with window = k·slide, every event lands in exactly k
+    sliding windows, so total counts/sums are k× the tumbling totals."""
+    from cosmogony_ray.functions.temporal import sliding_window_agg, tumbling_window_agg
+
+    rng = np.random.RandomState(5)
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table(
+        {
+            "k": ["a"] * 500,
+            "ts": pa.array(
+                [base + np.timedelta64(int(x), "us") for x in rng.randint(0, 10**10, 500)],
+                type=pa.timestamp("us"),
+            ),
+            "x": pa.array(rng.randint(0, 100, 500), type=pa.int64()),
+        }
+    )
+    kw = dict(ts_col="ts", keys=["k"], sums={"sx": "x"}, counts="n")
+    tum = tumbling_window_agg(rd.from_arrow(t), window_s=900, **kw).to_pandas()
+    sli = sliding_window_agg(
+        rd.from_arrow(t), window_s=2700, slide_s=900, **kw
+    ).to_pandas()
+    assert sli["n"].sum() == 3 * tum["n"].sum() == 3 * 500
+    assert sli["sx"].sum() == 3 * tum["sx"].sum()

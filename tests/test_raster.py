@@ -193,3 +193,17 @@ def test_rasterize_knn_fill(ray_session, mini_lux_dir):
     a = plain[m].sort_values(key)["zone_osm_id"].tolist()
     b = filled.merge(plain[m][key], on=key).sort_values(key)["zone_osm_id"].tolist()
     assert a == b
+
+
+def test_vectorize_band_rows_one_extreme_halo(ray_session):
+    """band_rows=1: every row pair crosses a band boundary — the halo
+    (ghost-row) machinery carries ALL vertical adjacency."""
+    from cosmogony_ray.stages.raster import vectorize_raster
+
+    grid = ["aa", "aa", "aa", "aa"]
+    out = vectorize_raster(
+        _raster_from_grid(grid), width=2, band_rows=1
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["min_px"], r["min_py"], r["max_px"], r["max_py"], r["n_pixels"]) == (0, 0, 1, 3, 8)
