@@ -316,6 +316,21 @@ class GeotagActor:
         self.idx: ZoneIndexData = idx if idx is not None else ray.get(index_ref)
         self.prepared: dict[int, PreparedPolygon] = {}
 
+    def assign_points(
+        self, lon: np.ndarray, lat: np.ndarray, *, knn_fill: bool = False
+    ) -> np.ndarray:
+        """Public point→zone assignment: index of the smallest covering zone
+        per point (-1 = none). ``knn_fill=True`` resolves uncovered finite
+        points to the nearest admin centroid (the geotag fallback). This is
+        the kernel every point-shaped consumer shares — doc spans
+        (``__call__``), raster pixels (stages/raster.py)."""
+        zone_i = self._containing_zone(lon, lat)
+        if knn_fill:
+            miss = np.nonzero((zone_i < 0) & np.isfinite(lon))[0]
+            if miss.size:
+                zone_i[miss] = self._knn_fallback_batch(lon[miss], lat[miss])
+        return zone_i
+
     def _prep(self, zi: int) -> PreparedPolygon | None:
         """Prepared geometry for a (big) zone from its flat edge slice — no
         WKB parse anywhere in the actor (the slice is zero-copy into the

@@ -108,11 +108,7 @@ def rasterize_zones(
             py = (ty + np.arange(h, dtype=np.int32))[:, None].repeat(w, 1).ravel()
             lon = x0 + (px + 0.5) * dx
             lat = y0 + (py + 0.5) * dy
-            zone_i = actor._containing_zone(lon, lat)
-            if knn_fill:
-                miss = np.nonzero(zone_i < 0)[0]
-                if miss.size:
-                    zone_i[miss] = actor._knn_fallback_batch(lon[miss], lat[miss])
+            zone_i = actor.assign_points(lon, lat, knn_fill=knn_fill)
             ids = pa.array(actor.idx.ids, type=pa.string())
             zs = ids.take(pa.array(np.where(zone_i >= 0, zone_i, 0), type=pa.int64()))
             zs = pc.if_else(pa.array(zone_i >= 0), zs, pa.scalar(None, pa.string()))
