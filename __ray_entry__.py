@@ -182,6 +182,40 @@ def _q_raster_zone_counts(sf_dir: str):
     )
 
 
+def _q_raster_filled_counts(sf_dir: str):
+    """knn-filled rasterization over a bbox extending past the world: every
+    pixel gets a zone (covered → argmin zone; uncovered → nearest admin
+    centroid, the geotag fallback) — the raster+kNN composition
+    value-pinned against the same haversine argmin in SQL."""
+    from cosmogony_ray.functions.relops import partial_groupby_sum
+    from cosmogony_ray.stages.geotag import build_zone_index
+    from cosmogony_ray.stages.raster import rasterize_zones
+
+    cosmo = _cosmo()
+    if "zindex" not in _CACHE:
+        _CACHE["zindex"] = build_zone_index(
+            cosmo.zones, _CACHE["cfg"], pack_ref=cosmo.geom_pack_ref
+        )
+    ras = rasterize_zones(
+        _CACHE["zindex"], bbox=(-8.0, -8.0, 24.0, 24.0), width=32, height=32,
+        tile_px=16, knn_fill=True,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "zone_osm_id": t["zone_osm_id"],
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    return partial_groupby_sum(
+        ras.map_batches(prep, batch_format="pyarrow"),
+        ["zone_osm_id"],
+        {"n_pixels": "one"},
+    )
+
+
 # --------------------------------------------------------------- relational
 
 
@@ -995,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_big_orders": _q_customers_with_big_orders,
         "raster_zone_counts": _q_raster_zone_counts,
+        "raster_filled_counts": _q_raster_filled_counts,
         "clean_text": _q_clean_text,
     }
 
@@ -1028,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_labels": f"SELECT * FROM (VALUES {label_vals}) AS t(osm_id, label)",
         "geotag_docs": oracle.sql_geotag_docs(),
         "raster_zone_counts": oracle.sql_raster_zone_counts(),
+        "raster_filled_counts": oracle.sql_raster_filled_counts(),
         # NOTE: every SUM is wrapped in an outer ::BIGINT cast — DuckDB's
         # SUM(BIGINT) returns HUGEINT which pandas renders as float64, and
         # the driver's value hash distinguishes int64 from float64 (this was

@@ -178,3 +178,48 @@ cover AS (
 SELECT osm_id AS zone_osm_id, COUNT(*)::BIGINT AS n_pixels
 FROM cover WHERE rn = 1 GROUP BY 1
 """
+
+
+def sql_raster_filled_counts(width: int = 32, height: int = 32) -> str:
+    """Oracle for knn-filled rasterization over a bbox extending past the
+    world: covered pixels take the (rank, area, osm_id) argmin zone;
+    uncovered pixels take the nearest admin centroid by haversine (ties by
+    osm_id) — exactly the geotag fallback (sql_geotag_docs). bbox
+    (-8,-8,24,24) at 32×32 → dx=dy=1.0 (exact float), centers at
+    half-integers (never on rect boundaries)."""
+    return f"""
+WITH pts AS (
+  SELECT a.range AS px, b.range AS py,
+         -8.0 + (a.range + 0.5) * 1.0 AS lon, -8.0 + (b.range + 0.5) * 1.0 AS lat
+  FROM range({width}) a, range({height}) b
+),
+{zones_values_cte(typed_only=True)},
+{centroids_values_cte()},
+cover AS (
+  SELECT p.px, p.py, z.osm_id,
+         ROW_NUMBER() OVER (PARTITION BY p.px, p.py ORDER BY z.rank, z.area, z.osm_id) AS rn
+  FROM pts p JOIN zones z
+    ON p.lon >= z.minx AND p.lon <= z.maxx AND p.lat >= z.miny AND p.lat <= z.maxy
+),
+hit AS (SELECT px, py, osm_id FROM cover WHERE rn = 1),
+missed AS (
+  SELECT p.* FROM pts p LEFT JOIN hit h ON h.px = p.px AND h.py = p.py
+  WHERE h.px IS NULL
+),
+knn AS (
+  SELECT m.px, m.py, c.osm_id,
+         ROW_NUMBER() OVER (PARTITION BY m.px, m.py ORDER BY
+           2*6371.0*asin(sqrt(
+             pow(sin(radians(c.clat - m.lat)/2), 2) +
+             cos(radians(m.lat))*cos(radians(c.clat))*pow(sin(radians(c.clon - m.lon)/2), 2)
+           )), c.osm_id) AS rn
+  FROM missed m CROSS JOIN cens c
+),
+assigned AS (
+  SELECT osm_id FROM hit
+  UNION ALL
+  SELECT osm_id FROM knn WHERE rn = 1
+)
+SELECT osm_id AS zone_osm_id, COUNT(*)::BIGINT AS n_pixels
+FROM assigned GROUP BY 1
+"""
