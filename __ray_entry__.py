@@ -982,6 +982,21 @@ def _q_clean_text(sf_dir: str):
     return clean_text(_docs_ds(sf_dir))
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Nearest-centroid assignment (the IVF coarse quantizer as a
+    standalone op, functions/similarity.assign_clusters) against the FIXED
+    seeded quantizer — data-independent centroids so the oracle can embed
+    the identical float64 literals and resolve the same argmax (ties to
+    the smallest centroid index on both sides)."""
+    import ray as _ray
+
+    from cosmogony_ray.functions.similarity import assign_clusters, fixed_centroids
+
+    ds = _read_sf(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent_ref = _ray.put(fixed_centroids())
+    return assign_clusters(ds, cent_ref)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1030,8 +1045,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_big_orders": _q_customers_with_big_orders,
         "raster_zone_counts": _q_raster_zone_counts,
         "raster_filled_counts": _q_raster_filled_counts,
+        "embedding_clusters": _q_embedding_clusters,
         "clean_text": _q_clean_text,
     }
+
+
+def _sql_embedding_clusters() -> str:
+    from cosmogony_ray.functions.similarity import fixed_centroids
+
+    cent = fixed_centroids()
+    rows = ", ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(x)) for x in cent[i])
+        )
+        for i in range(cent.shape[0])
+    )
+    return f"""
+WITH c(cid, vec) AS (VALUES {rows}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.vec) DESC, c.cid
+         ) AS rn
+  FROM embeddings e CROSS JOIN c
+)
+SELECT vec_id, cid::BIGINT AS cluster FROM scored WHERE rn = 1
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1064,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         "geotag_docs": oracle.sql_geotag_docs(),
         "raster_zone_counts": oracle.sql_raster_zone_counts(),
         "raster_filled_counts": oracle.sql_raster_filled_counts(),
+        "embedding_clusters": _sql_embedding_clusters(),
         # NOTE: every SUM is wrapped in an outer ::BIGINT cast — DuckDB's
         # SUM(BIGINT) returns HUGEINT which pandas renders as float64, and
         # the driver's value hash distinguishes int64 from float64 (this was

@@ -483,3 +483,37 @@ def knn_ivf_partitioned(
         ds, queries_ref, centroids_ref, k=k, nprobe=nprobe,
         vec_col=vec_col, id_col=id_col,
     )
+
+
+def fixed_centroids(k: int = 8, d: int = 64, seed: int = 123) -> np.ndarray:
+    """Deterministic data-independent unit centroids (seeded Gaussian,
+    normalized, float64) — a fixed coarse quantizer. Exists so the
+    assignment kernel can be VALUE-oracle-checked: a trained quantizer
+    depends on the corpus, but these literals can be reproduced inside a
+    static SQL oracle (same seed → same floats on both sides)."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(k, d)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def assign_clusters(
+    ds: rd.Dataset,
+    centroids_ref,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """(id, cluster): nearest-centroid assignment — the IVF coarse
+    quantizer as a standalone distributed map (one (batch × k) float64
+    matmul per batch against the broadcast centroid matrix; ties break to
+    the smallest centroid index, np.argmax's first-max rule)."""
+    from .broadcast import get_cached
+
+    def fn(t: pa.Table) -> pa.Table:
+        cent = get_cached(centroids_ref)
+        m = _as_matrix(t[vec_col])
+        a = np.argmax(m @ cent.T, axis=1)
+        return pa.table(
+            {id_col: t[id_col], "cluster": pa.array(a, type=pa.int64())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
