@@ -997,6 +997,38 @@ def _q_embedding_clusters(sf_dir: str):
     return assign_clusters(ds, cent_ref)
 
 
+def _q_top_terms(sf_dir: str):
+    """Corpus document-frequency top terms — the canonical wordcount shape:
+    per-batch partial (token → df) counts (distinct tokens per doc), a
+    small keyed combine shuffle, then a global top-20 by (df desc, token
+    asc) — the deterministic total order shared with the oracle so the
+    LIMIT boundary cuts identically."""
+    import collections
+    import re
+
+    from cosmogony_ray.functions.relops import partial_groupby_sum
+
+    docs = _docs_ds(sf_dir)
+    token_re = re.compile(r"[A-Za-z0-9]+")
+    out_schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: collections.Counter = collections.Counter()
+        for txt in t["text"].to_pylist():
+            c.update(set(token_re.findall(txt or "")))
+        if not c:
+            return out_schema.empty_table()
+        toks, dfs = zip(*c.items())
+        return pa.table(
+            {"token": pa.array(toks, type=pa.string()), "df": pa.array(dfs, type=pa.int64())},
+            schema=out_schema,
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    combined = partial_groupby_sum(partials, ["token"], {"df": "df"})
+    return combined.sort(["df", "token"], descending=[True, False]).limit(20)
+
+
 # ------------------------------------------------------------------ contract
 
 
@@ -1046,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_zone_counts": _q_raster_zone_counts,
         "raster_filled_counts": _q_raster_filled_counts,
         "embedding_clusters": _q_embedding_clusters,
+        "top_terms": _q_top_terms,
         "clean_text": _q_clean_text,
     }
 
@@ -1105,6 +1138,16 @@ def oracle_sql() -> dict[str, str]:
         "raster_zone_counts": oracle.sql_raster_zone_counts(),
         "raster_filled_counts": oracle.sql_raster_filled_counts(),
         "embedding_clusters": _sql_embedding_clusters(),
+        "top_terms": """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*)::BIGINT AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, token
+LIMIT 20
+""",
         # NOTE: every SUM is wrapped in an outer ::BIGINT cast — DuckDB's
         # SUM(BIGINT) returns HUGEINT which pandas renders as float64, and
         # the driver's value hash distinguishes int64 from float64 (this was
