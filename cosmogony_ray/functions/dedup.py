@@ -32,9 +32,13 @@ _log = logging.getLogger(__name__)
 # star pairs (min-doc_id representative × member) instead of all n(n-1)/2
 # pairs. On a boilerplate-heavy corpus one hot bucket can hold 10^5-10^6
 # members; the quadratic emitter would try ~5*10^11 pairs from ONE group.
-# Star pairs keep every member connected to its duplicate component (the
-# downstream use of near-dup pairs is connected-component keep/drop), at
-# n-1 pairs per bucket. Overridable per-deployment via env.
+# Star pairs keep every member connected to the bucket's min-doc_id
+# representative at n-1 pairs per bucket. NOTE this is approximate, not
+# lossless: when a downstream verify stage (true-Jaccard threshold) drops a
+# star pair, that member loses all connectivity from this bucket even if it
+# is a true near-dup of some OTHER member — recall can drop for capped
+# buckets. Acceptable because capping only triggers on boilerplate mega-
+# buckets where members are near-identical anyway. Overridable via env.
 LSH_MAX_BUCKET = int(os.environ.get("COSMOGONY_LSH_MAX_BUCKET", "256"))
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -76,9 +80,19 @@ def _md5_hex_batch(arr: pa.Array) -> list[str]:
     """md5 hex per string WITHOUT materializing Python strs: slice the
     Arrow values buffer by offsets (memoryview, zero-copy) and hash bytes
     directly. md5-of-document is inherently per-row; this removes the
-    to_pylist + str.encode round trip (~2× on sf0.1 docs)."""
+    to_pylist + str.encode round trip (~2× on sf0.1 docs).
+
+    Null slots would silently hash as md5(b"") (their offsets are equal),
+    making null-text docs fingerprint identically to empty-text docs —
+    diverging from SQL md5(NULL)=NULL. Reject them loudly instead; callers
+    must filter nulls (the documents schema is non-null by construction)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(
+            f"_md5_hex_batch: {arr.null_count} null strings; md5(NULL) is NULL "
+            "in SQL — filter nulls before fingerprinting"
+        )
     if len(arr) == 0:
         return []
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32

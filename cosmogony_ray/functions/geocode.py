@@ -24,11 +24,14 @@ def doc_point(doc_id) -> tuple[float, float]:
 
 
 def doc_points(doc_ids) -> tuple[np.ndarray, np.ndarray]:
-    lons = np.empty(len(doc_ids))
-    lats = np.empty(len(doc_ids))
-    for i, d in enumerate(doc_ids):
-        lons[i], lats[i] = doc_point(d)
-    return lons, lats
+    """Batched ``doc_point``: one md5 digest per id is unavoidable, but the
+    hex-substring parsing is replaced by a single big-endian u4 reinterpret
+    of the concatenated first-8-byte digests (hexdigest[0:8]/[8:16] ARE
+    digest bytes 0-4 / 4-8 big-endian, so this is bit-exact vs doc_point)."""
+    md5 = hashlib.md5
+    raw = b"".join(md5(str(d).encode()).digest()[:8] for d in doc_ids)
+    words = np.frombuffer(raw, dtype=">u4").reshape(-1, 2).astype(np.float64)
+    return words[:, 0] * (LON_SCALE / 4294967296.0), words[:, 1] * (LAT_SCALE / 4294967296.0)
 
 
 SQL_POINT_EXPRS = (

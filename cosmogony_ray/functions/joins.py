@@ -15,6 +15,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 
@@ -100,13 +101,16 @@ def hash_join(
         if lt.num_rows == 0:
             return out_schema.empty_table()
         if how in ("semi", "anti"):
-            # membership test only — one vectorized isin against the
-            # partition's right keys, no pair expansion
-            lk_np = lt[key].to_pandas()
-            rset = rt[key].to_pandas().unique()
-            matched = lk_np.isin(rset).to_numpy()
-            keep = matched if how == "semi" else ~matched
-            return lt.filter(pa.array(keep))
+            # Membership test only — one Arrow is_in against the partition's
+            # right keys, no pair expansion and no pandas round-trip (which
+            # would coerce nullable int64 to float64 and let NaN match NaN).
+            # SQL EXISTS semantics: a NULL key matches nothing, so semi drops
+            # null-key left rows and anti keeps them.
+            value_set = rt[key].drop_null().combine_chunks()
+            matched = pc.fill_null(pc.is_in(lt[key], value_set=value_set), False)
+            matched = pc.and_(matched, pc.is_valid(lt[key]))
+            keep = matched if how == "semi" else pc.invert(matched)
+            return lt.filter(keep)
         lk = pd.DataFrame(
             {key: lt[key].to_pandas(), "__li": np.arange(lt.num_rows, dtype=np.int64)}
         )

@@ -1,25 +1,28 @@
 """Multimodal (image/audio/video) span processing — actor-pool stages.
 
-The container ships no image/audio codecs (no PIL/ffmpeg), so the DECODE
-step is stubbed exactly as the brief prescribes: a clearly-marked
-``NotImplementedError`` behind ``require_real_codecs=True``, and a
-deterministic fake decode otherwise. Everything around the stub — schema,
-batch size, actor-pool signature, binary payload handling, output layout —
-is real and tested, so swapping in a real codec is a one-function change.
+The decode step is REAL as of round 5: media payloads are genuine BMP /
+PPM / PCM16-WAV containers (public, codec-library-free formats) decoded by
+the pure-numpy parsers in ``mediacodec.py``, and features are computed
+from the actual pixels / samples. The production swap-in point is
+``fetch_media_bytes`` (object-storage read instead of deterministic
+synthesis) — decode and features run unchanged on any 24-bit BMP, P6 PPM
+or PCM16 mono WAV.
 
 Scale notes (ray_guide): media payloads are wide binary rows → small
 ``batch_size``; the actor pool amortizes codec init; features come back as
-fixed-width ``list<float32>`` ready for the similarity operators."""
+fixed-width ``list<float32>`` ready for the similarity operators. Decode
+is inherently per-file (variable dims), but each file's pixel math is
+vectorized numpy."""
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data as rd
+
+from .mediacodec import decode_image, decode_wav, synth_media_payload
 
 FEATURE_DIM = 32
 
@@ -33,13 +36,68 @@ MEDIA_FEATURE_T = pa.struct(
 )
 
 
+def image_features(img: np.ndarray) -> np.ndarray:
+    """(H, W, 3) uint8 → 32-dim float32: per-channel mean/std, 16-bin gray
+    histogram, gray mean/std/min/max, dims/aspect, edge energies."""
+    h, w = img.shape[:2]
+    px = img.reshape(-1, 3).astype(np.float32)
+    gray = px.mean(axis=1)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0:3] = px.mean(axis=0) / 255.0
+    out[3:6] = px.std(axis=0) / 255.0
+    hist = np.bincount(
+        np.clip((gray // 16.0).astype(np.int64), 0, 15), minlength=16
+    )
+    out[6:22] = hist.astype(np.float32) / gray.size
+    out[22] = gray.mean() / 255.0
+    out[23] = gray.std() / 255.0
+    out[24] = gray.min() / 255.0
+    out[25] = gray.max() / 255.0
+    out[26] = w / 64.0
+    out[27] = h / 64.0
+    out[28] = w / h
+    g2 = gray.reshape(h, w)
+    out[29] = float(np.abs(np.diff(g2, axis=1)).mean()) / 255.0 if w > 1 else 0.0
+    out[30] = float(np.abs(np.diff(g2, axis=0)).mean()) / 255.0 if h > 1 else 0.0
+    out[31] = 1.0  # modality marker
+    return out
+
+
+def audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    """1-D int16 + sample rate → 32-dim float32: amplitude stats, RMS,
+    zero-cross rate, 16-bin amplitude histogram, length/rate, 8-band
+    energy profile."""
+    x = samples.astype(np.float32) / 32768.0
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    if x.size == 0:
+        return out
+    out[0] = x.mean()
+    out[1] = x.std()
+    out[2] = x.min()
+    out[3] = x.max()
+    out[4] = float(np.sqrt(np.mean(x * x)))
+    if x.size > 1:
+        out[5] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    hist = np.bincount(
+        np.clip(((x + 1.0) * 8.0).astype(np.int64), 0, 15), minlength=16
+    )
+    out[6:22] = hist.astype(np.float32) / x.size
+    out[22] = x.size / 65536.0
+    out[23] = rate / 48000.0
+    for i, seg in enumerate(np.array_split(x, 8)):
+        out[24 + i] = float(np.mean(seg * seg)) if seg.size else 0.0
+    return out
+
+
 def fetch_media_bytes(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
     """Resolve each media span's ``media_ref`` to payload bytes.
 
     In production this stage reads object storage; here the payload is a
-    deterministic fake derived from the ref (md5-seeded), so downstream
-    plumbing processes realistic binary columns. Emits one row per media
-    span: (doc_id, span_index, kind, media_ref, media_bytes)."""
+    real container (BMP/PPM/WAV, see ``mediacodec.synth_media_payload``)
+    whose content is a deterministic function of the ref — so downstream
+    decode is real AND a SQL oracle can recompute the expected pixels.
+    Emits one row per media span:
+    (doc_id, span_index, kind, media_ref, media_bytes)."""
 
     def fn(t: pa.Table) -> pa.Table:
         from ..functions.arrowtools import explode_list_column
@@ -47,11 +105,10 @@ def fetch_media_bytes(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
         flat = explode_list_column(t, "spans", ["doc_id"], pos_col="span_index")
         mask = pc.invert(pc.equal(pc.fill_null(flat["media_ref"], ""), ""))
         flat = flat.filter(mask)
-        refs = flat["media_ref"].to_pylist()
-        payloads = []
-        for r in refs:
-            seed = hashlib.md5(r.encode()).digest()
-            payloads.append(seed * 8)  # 128-byte deterministic fake payload
+        payloads = [
+            synth_media_payload(r, k)
+            for r, k in zip(flat["media_ref"].to_pylist(), flat["kind"].to_pylist())
+        ]
         return pa.table(
             {
                 "doc_id": flat["doc_id"],
@@ -68,39 +125,36 @@ def fetch_media_bytes(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
 class MediaDecodeActor:
     """Actor-pool decode / feature-extract stage.
 
-    ``__init__`` probes for real codecs once per actor (none in this
-    container); ``__call__`` decodes per batch. With
-    ``require_real_codecs=True`` the stage raises ``NotImplementedError`` —
-    the explicit stub marker."""
+    ``__init__`` probes codecs once per actor: PIL when present, else the
+    built-in pure-numpy BMP/PPM/WAV parsers — which are REAL decoders, so
+    ``require_real_codecs=True`` is satisfied in this container (the
+    round-4 stub marker is gone). ``__call__`` decodes per batch and emits
+    features computed from actual pixels / samples."""
 
     def __init__(self, require_real_codecs: bool = False):
-        self.codecs = None
-        try:  # pragma: no cover - codec probe (absent in this container)
+        try:  # pragma: no cover - PIL absent in this container
             import PIL.Image  # noqa: F401
 
-            self.codecs = "pil"
+            self.codecs = "pil+numpy-builtin"
         except ImportError:
-            self.codecs = None
-        if require_real_codecs and self.codecs is None:
-            raise NotImplementedError(
-                "real image/audio decode requires codec libraries not present "
-                "in this environment; run with require_real_codecs=False for "
-                "the deterministic fake decode"
-            )
+            self.codecs = "numpy-builtin"
+        self.require_real_codecs = require_real_codecs  # always satisfiable now
 
-    def _fake_decode(self, payload: bytes) -> np.ndarray:
-        # deterministic fake features: md5-chained floats in [0, 1)
-        out = np.empty(FEATURE_DIM, dtype=np.float32)
-        h = payload
-        for i in range(0, FEATURE_DIM, 4):
-            h = hashlib.md5(h).digest()
-            for j in range(4):
-                out[i + j] = int.from_bytes(h[4 * j : 4 * j + 4], "little") / 2**32
-        return out
+    @staticmethod
+    def decode_features(payload: bytes, kind: str) -> np.ndarray:
+        if kind == "audio":
+            samples, rate = decode_wav(payload)
+            return audio_features(samples, rate)
+        return image_features(decode_image(payload))
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["media_bytes"].to_pylist()
-        feats = np.stack([self._fake_decode(p) for p in payloads]) if payloads else np.zeros((0, FEATURE_DIM), dtype=np.float32)
+        kinds = t["kind"].to_pylist()
+        feats = (
+            np.stack([self.decode_features(p, k) for p, k in zip(payloads, kinds)])
+            if payloads
+            else np.zeros((0, FEATURE_DIM), dtype=np.float32)
+        )
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -121,7 +175,7 @@ def extract_media_features(
     media = fetch_media_bytes(docs, batch_size=batch_size)
     return media.map_batches(
         MediaDecodeActor,
-        fn_constructor_kwargs={"require_real_codecs": False},
+        fn_constructor_kwargs={"require_real_codecs": True},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -130,40 +184,37 @@ def extract_media_features(
 
 
 class MediaResizeActor:
-    """Actor-pool image resize: decode (stubbed, see MediaDecodeActor) →
-    REAL nearest-neighbor resize (pure-numpy index sampling — the resize
-    kernel itself needs no codec) → fixed-size uint8 RGB buffer per span.
+    """Actor-pool image resize: REAL decode (BMP/PPM) → REAL
+    nearest-neighbor resize (index sampling with per-source-dims cached
+    index maps) → fixed-size uint8 RGB buffer per IMAGE span (audio spans
+    are filtered out — resize has no audio semantics).
     Output layout: (doc_id, span_index, width, height,
     pixels: fixed_size_list<uint8>[W·H·3])."""
 
-    SRC = 16  # fake-decode source resolution (SRC×SRC×3)
-
-    def __init__(self, width: int, height: int, require_real_codecs: bool = False):
+    def __init__(self, width: int, height: int):
         self.width = width
         self.height = height
-        self._probe = MediaDecodeActor(require_real_codecs=require_real_codecs)
-        # nearest-neighbor index maps, computed once per actor
-        self._xi = (np.arange(width) * self.SRC // width).astype(np.int64)
-        self._yi = (np.arange(height) * self.SRC // height).astype(np.int64)
+        self._idx_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
-    def _fake_image(self, payload: bytes) -> np.ndarray:
-        """Deterministic SRC×SRC×3 uint8 image from the payload bytes."""
-        n = self.SRC * self.SRC * 3
-        out = np.empty(n, dtype=np.uint8)
-        h = payload
-        for i in range(0, n, 16):
-            h = hashlib.md5(h).digest()
-            out[i : i + 16] = np.frombuffer(h, dtype=np.uint8)[: min(16, n - i)]
-        return out.reshape(self.SRC, self.SRC, 3)
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        sh, sw = img.shape[:2]
+        maps = self._idx_cache.get((sh, sw))
+        if maps is None:
+            maps = (
+                (np.arange(self.height) * sh // self.height).astype(np.int64),
+                (np.arange(self.width) * sw // self.width).astype(np.int64),
+            )
+            self._idx_cache[(sh, sw)] = maps
+        return img[np.ix_(maps[0], maps[1])]
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], "image"))
         payloads = t["media_bytes"].to_pylist()
         w, h = self.width, self.height
         if payloads:
-            imgs = np.stack(
-                [self._fake_image(p)[np.ix_(self._yi, self._xi)] for p in payloads]
-            )
-            flat = imgs.reshape(len(payloads), -1)
+            flat = np.stack(
+                [self._resize(decode_image(p)) for p in payloads]
+            ).reshape(len(payloads), -1)
         else:
             flat = np.zeros((0, w * h * 3), dtype=np.uint8)
         return pa.table(
@@ -183,7 +234,7 @@ def resize_media(
     docs: rd.Dataset, *, width: int = 8, height: int = 8,
     concurrency=(1, 8), batch_size: int = 128,
 ) -> rd.Dataset:
-    """docs(doc_id, spans) → one resized-RGB row per media span (actor
+    """docs(doc_id, spans) → one resized-RGB row per IMAGE span (actor
     pool; smaller default batch than features — pixel buffers are wide)."""
     media = fetch_media_bytes(docs, batch_size=batch_size)
     return media.map_batches(
@@ -197,26 +248,35 @@ def resize_media(
 
 
 class FrameSampleActor:
-    """Actor-pool video frame sampling: the (stub) decode derives a
-    deterministic frame count from the payload (``len % 13 + 2`` fake
-    frames), then every ``stride``-th frame is kept and feature-extracted —
-    the EXPLODE plumbing (one input span → k output frame rows, offsets
-    rebuilt vectorized) is the real contract a video pipeline needs.
-    Output: (doc_id, span_index, frame_index, feature)."""
+    """Actor-pool video frame sampling: each media span is treated as a
+    short clip with a deterministic frame count (``len(payload) % 13 + 2``
+    — payload-derived, as a container's frame table would be), every
+    ``stride``-th frame kept. Frame k's content is the decoded media
+    cyclically shifted by k (real pixel/sample math over the REAL decode),
+    features via the same kernels as MediaDecodeActor. The EXPLODE
+    plumbing (one input span → k output frame rows) is the contract a
+    video pipeline needs. Output: (doc_id, span_index, frame_index,
+    feature)."""
 
-    def __init__(self, stride: int = 2, require_real_codecs: bool = False):
+    def __init__(self, stride: int = 2):
         self.stride = stride
-        self._dec = MediaDecodeActor(require_real_codecs=require_real_codecs)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["media_bytes"].to_pylist()
+        kinds = t["kind"].to_pylist()
         out_row, out_frame, out_feat = [], [], []
-        for i, p in enumerate(payloads):
+        for i, (p, kind) in enumerate(zip(payloads, kinds)):
             n_frames = len(p) % 13 + 2
+            if kind == "audio":
+                samples, rate = decode_wav(p)
+                frame = lambda k: audio_features(np.roll(samples, k), rate)
+            else:
+                img = decode_image(p)
+                frame = lambda k: image_features(np.roll(img, k, axis=1))
             for k in range(0, n_frames, self.stride):
                 out_row.append(i)
                 out_frame.append(k)
-                out_feat.append(self._dec._fake_decode(p + k.to_bytes(4, "little")))
+                out_feat.append(frame(k))
         feats = (
             np.stack(out_feat) if out_feat else np.zeros((0, FEATURE_DIM), np.float32)
         )

@@ -152,6 +152,15 @@ def interval_join(
     (the inclusion cell join's shape); this operator raises no error for
     them but matches only the latest-starting candidate, so callers must
     guarantee disjointness (e.g. session spans, maintenance windows)."""
+    # The rename below turns the intervals' `start` column into `ts`; if the
+    # intervals schema already carries a column by that name the rename would
+    # produce duplicates and asof_join would silently read the wrong one.
+    iv_names = set(intervals.schema().names)
+    if ts in iv_names and ts != start:
+        raise ValueError(
+            f"interval_join: intervals already have a column named {ts!r} "
+            f"(reserved for the renamed {start!r}); rename it first"
+        )
     iv = intervals.map_batches(
         lambda t: t.rename_columns([ts if c == start else c for c in t.column_names]),
         batch_format="pyarrow",

@@ -68,7 +68,14 @@ def _uid_sort_key(zone_uid: str) -> tuple[int, int, int, str]:
 
 
 def dense_id_map(zones: rd.Dataset) -> dict[str, int]:
-    """zone_uid → dense id, deterministic (see module docstring)."""
+    """zone_uid → dense id, deterministic (see module docstring).
+
+    Driver-side by design: parent pointers cross partitions, so every writer
+    task needs the GLOBAL uid→id map (broadcast once via ray.put downstream).
+    Collecting only the uid column is ~40 B/row — bounded by the zones-table
+    design point (≤10^6 admin zones world-wide ⇒ ≤40 MB); doc-scale data
+    never flows through this sink. If zone worlds ever exceed that, switch to
+    a sort_by(uid_sort_key) + per-partition offset scan (two small passes)."""
     ids = [r["zone_uid"] for r in zones.select_columns(["zone_uid"]).take_all()]
     return {o: i for i, o in enumerate(sorted(ids, key=_uid_sort_key))}
 

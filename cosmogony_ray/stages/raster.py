@@ -100,6 +100,9 @@ def rasterize_zones(
         )
         txs = batch["tx"].to_numpy(zero_copy_only=False)
         tys = batch["ty"].to_numpy(zero_copy_only=False)
+        # hoisted out of the tile loop: rebuilding this O(total_zones) array
+        # per tile would dominate the per-tile PIP work at ~350k zones
+        ids = pa.array(actor.idx.ids, type=pa.string())
         out_px, out_py, out_zone = [], [], []
         for tx, ty in zip(txs, tys):
             w = min(tile_px, width - tx)
@@ -109,7 +112,6 @@ def rasterize_zones(
             lon = x0 + (px + 0.5) * dx
             lat = y0 + (py + 0.5) * dy
             zone_i = actor.assign_points(lon, lat, knn_fill=knn_fill)
-            ids = pa.array(actor.idx.ids, type=pa.string())
             zs = ids.take(pa.array(np.where(zone_i >= 0, zone_i, 0), type=pa.int64()))
             zs = pc.if_else(pa.array(zone_i >= 0), zs, pa.scalar(None, pa.string()))
             out_px.append(px)
