@@ -415,9 +415,181 @@ def _q_fingerprint(sf_dir: str):
 
 
 def _q_rolling_fingerprint(sf_dir: str):
+    """Winnowing fingerprints, exploded to (doc_id, rank, fp) rows so the
+    polynomial-hash kernel is value-checked by a DuckDB oracle (the same
+    window hash mirrored as SQL list-lambda arithmetic — round-4 verdict
+    ask #3). rank = 1-based position in the sorted keep-list."""
     from cosmogony_ray.functions.textops import rolling_fingerprint
 
-    return rolling_fingerprint(_docs_ds(sf_dir))
+    def explode(t: pa.Table) -> pa.Table:
+        fps = t["fingerprints"].combine_chunks()
+        offs = fps.offsets.to_numpy()
+        counts = np.diff(offs)
+        take = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64), counts))
+        ranks = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(offs[:-1], counts) + 1
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(take),
+                "rank": pa.array(ranks),
+                "fp": fps.values,
+            }
+        )
+
+    return rolling_fingerprint(_docs_ds(sf_dir)).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def _sql_dedup_minhash() -> str:
+    """SQL mirror of dedup.minhash_lsh_pairs — the full chain: whitespace
+    tokens → md5 token hashes → 3-gram polynomial shingles (mask 61 bits)
+    → 64 permutation minima ((x+b)·a mod 2^64 as HUGEINT arithmetic) →
+    banded polynomial band hash with xorshift-multiply finalizer (the
+    128-bit-safe split multiply) → bucket self-join → true-Jaccard ≥ 50%
+    verify. Bit-exact vs the Ray operator whenever no bucket exceeds
+    LSH_MAX_BUCKET (true at oracle scales; capped buckets emit star pairs
+    the SQL's all-pairs join would expand)."""
+    from cosmogony_ray.functions.dedup import _perm_params, _poly_consts
+
+    NP, BANDS, ROWS = 64, 16, 4
+    a, b = _perm_params(NP)
+    C = _poly_consts(3, seed=7)
+    D = _poly_consts(ROWS + 1, seed=11)
+    M64 = 1 << 64
+    MASK61 = (1 << 61) - 1
+    FIN = 0x94D049BB133111EB
+    perm_rows = ", ".join(
+        f"({p + 1}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT, "
+        f"{int(D[p % ROWS + 1])}::HUGEINT)"
+        for p in range(NP)
+    )
+    sh_expr = " + ".join(f"{int(C[k])}::HUGEINT * h[i + {k}]" for k in range(3))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(tk, x -> CAST(('0x' || substring(md5(x), 1, 15))::UBIGINT AS HUGEINT)) AS h,
+         len(tk) AS m
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, m - 1),
+           i -> CAST(({sh_expr}) % {M64} AS UBIGINT) & {MASK61})) AS s
+  FROM th WHERE m >= 3
+), shr AS (
+  SELECT doc_id, unnest(s) AS x FROM sh
+), perms AS (
+  SELECT * FROM (VALUES {perm_rows}) AS t(p, pa, pb, dk)
+), hmin AS (
+  SELECT s.doc_id, p.p, p.dk,
+         MIN(CAST(((CAST(s.x AS HUGEINT) + p.pb) * p.pa) % {M64} AS UBIGINT)) AS sig
+  FROM shr s CROSS JOIN perms p
+  GROUP BY s.doc_id, p.p, p.dk
+), pre AS (
+  SELECT doc_id, CAST((p - 1) // {ROWS} AS BIGINT) AS band,
+         (SUM((dk * CAST(sig AS HUGEINT)) % {M64})
+          + {int(D[0])}::HUGEINT * ((p - 1) // {ROWS})) % {M64} AS prev
+  FROM hmin GROUP BY doc_id, (p - 1) // {ROWS}
+), fin1 AS (
+  SELECT doc_id, band, xor(CAST(prev AS UBIGINT), CAST(prev AS UBIGINT) >> 31) AS x
+  FROM pre
+), bh AS (
+  SELECT doc_id, band,
+         CAST(( (CAST(x & 4294967295 AS HUGEINT) * {FIN}::HUGEINT)
+              + ((CAST(x >> 32 AS HUGEINT) * {FIN}::HUGEINT) % 4294967296) * 4294967296
+              ) % {M64} AS UBIGINT) AS band_hash
+  FROM fin1
+), cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bh x JOIN bh y
+    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b
+FROM cands c
+JOIN sh sa ON sa.doc_id = c.doc_a
+JOIN sh sb ON sb.doc_id = c.doc_b
+WHERE 100 * len(list_intersect(sa.s, sb.s)) >= 50 * (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+"""
+
+
+def _sql_dedup_simhash() -> str:
+    """SQL mirror of dedup.simhash_pairs: md5 token hashes (full 64 bits)
+    → per-bit ±1 votes over token POSITIONS → 64-bit signature → 4×16-bit
+    band blocking → hamming ≤ 3 via bit_count(xor). Mirrors the
+    LSH_MAX_BUCKET star-verification skew cap exactly with window
+    functions (bucket size / min-doc representative are global per
+    (band, key)), so this is bit-exact at every scale."""
+    from cosmogony_ray.functions.dedup import LSH_MAX_BUCKET
+
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+  FROM documents
+), tokr AS (
+  SELECT doc_id, unnest(tk) AS tok FROM toks
+), thr AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS h FROM tokr
+), votes AS (
+  SELECT t.doc_id, b.v AS bit,
+         SUM(CASE WHEN (t.h >> CAST(b.v AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM thr t CROSS JOIN generate_series(0, 63) AS b(v)
+  GROUP BY t.doc_id, b.v
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0
+                       THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS s
+  FROM votes GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.v AS band,
+         (s >> CAST(16 * b.v AS INT)) & 65535 AS key, s,
+         COUNT(*) OVER (PARTITION BY b.v, (s >> CAST(16 * b.v AS INT)) & 65535) AS bs,
+         MIN(doc_id) OVER (PARTITION BY b.v, (s >> CAST(16 * b.v AS INT)) & 65535) AS rep
+  FROM sig CROSS JOIN generate_series(0, 3) AS b(v)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+   AND (x.bs <= __CAP__ OR x.doc_id = x.rep)
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""".replace("__CAP__", str(LSH_MAX_BUCKET))
+
+
+def _sql_rolling_fingerprint(window: int = 16, keep: int = 4) -> str:
+    """SQL mirror of textops.rolling_fingerprint: per-window polynomial
+    hash (base 257 mod 2^31-1) as list-lambda arithmetic over ascii codes
+    (corpus is ASCII, so code == UTF-8 byte), keep smallest ``keep``."""
+    MOD = (1 << 31) - 1
+    pw, acc = [], 1
+    for j in range(window - 1, -1, -1):
+        pw.append((j, acc))
+        acc = (acc * 257) % MOD
+    terms = " + ".join(f"cs[s + {j}] * {w}" for j, w in sorted(pw))
+    return f"""
+WITH codes AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), x -> CAST(ascii(x) AS BIGINT)) AS cs,
+         length(text) AS n
+  FROM documents
+), winh AS (
+  SELECT doc_id,
+         list_sort(list_transform(range(1, n - {window - 2}),
+                                  s -> ({terms}) % {MOD})) AS sh
+  FROM codes WHERE n >= {window}
+)
+SELECT w.doc_id, CAST(r.v AS BIGINT) AS rank, CAST(sh[r.v] AS BIGINT) AS fp
+FROM winh w JOIN generate_series(1, {keep}) AS r(v) ON r.v <= len(w.sh)
+UNION ALL
+SELECT doc_id, CAST(1 AS BIGINT) AS rank,
+       CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp
+FROM documents WHERE length(text) < {window}
+"""
 
 
 def _q_dedup_exact(sf_dir: str):
@@ -1198,6 +1370,9 @@ def oracle_sql() -> dict[str, str]:
         "raster_zone_counts": oracle.sql_raster_zone_counts(),
         "raster_filled_counts": oracle.sql_raster_filled_counts(),
         "embedding_clusters": _sql_embedding_clusters(),
+        "rolling_fingerprint": _sql_rolling_fingerprint(),
+        "dedup_minhash": _sql_dedup_minhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
         # mirrors mediacodec.synth_media_payload + decode_image: seed from
         # md5(ref), gradient pixel closed form (base + x + 2y + 3c) mod 256
         "media_pixel_stats": r"""
