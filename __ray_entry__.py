@@ -515,6 +515,101 @@ WHERE 100 * len(list_intersect(sa.s, sb.s)) >= 50 * (len(sa.s) + len(sb.s) - len
 """
 
 
+def _sql_embedding_dups(threshold: float = 0.4) -> str:
+    """SQL mirror of dedup.embedding_dup_pairs: the 12×3 sign-random-
+    projection LSH tables (hyperplanes inlined as DOUBLE literals from the
+    same RandomState(7) draw) → bucket self-join per table → exact cosine
+    ≥ threshold via list_cosine_similarity in double precision. The engine
+    does the same math in float64, and the synthetic corpus's cosine
+    margins (≫1e-12) make sign/threshold flips impossible in practice —
+    verified pair-set-equal at sf0.01 AND sf0.1."""
+    import numpy as np
+
+    TABLES, PLANES = 12, 3
+    pm = np.random.RandomState(7).normal(size=(TABLES, PLANES, 64))
+
+    def plane_lit(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    subqueries = []
+    for t in range(TABLES):
+        bits = " + ".join(
+            f"{1 << p} * (CASE WHEN list_dot_product(e, {plane_lit(pm[t][p])}) > 0 THEN 1 ELSE 0 END)"
+            for p in range(PLANES)
+        )
+        subqueries.append(f"SELECT {t} AS tbl, vec_id, ({bits}) AS bucket FROM emb")
+    union = "\nUNION ALL\n".join(subqueries)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), b AS (
+{union}
+), cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.id_a, c.id_b
+FROM cand c
+JOIN emb ea ON ea.vec_id = c.id_a
+JOIN emb eb ON eb.vec_id = c.id_b
+WHERE list_cosine_similarity(ea.e, eb.e) >= {threshold}
+"""
+
+
+def _sql_knn_lsh(k: int = 10, tables: int = 5, planes: int = 6,
+                 seed: int = 42, probes: int = 2) -> str:
+    """SQL mirror of similarity.knn_lsh: sign-LSH buckets per table
+    (hyperplane literals from the same RandomState(42) draw — sign of the
+    dot is scale-invariant so normalization is irrelevant), candidate =
+    bucket within hamming ≤ probes of ANY query bucket in ANY table
+    (bit_count(xor) — identical to the engine's ≤probes bit-flip
+    expansion), exact cosine re-rank top-k with the (cos DESC, vec_id)
+    tie-break knn_brute uses. Pair-set-equal at sf0.01 AND sf0.1.
+    (knn_ivf stays rows-only by design: its coarse quantizer is TRAINED on
+    the dataset at runtime, so no static SQL can mirror it; the quantizer
+    math itself is pinned by the embedding_clusters oracle and recall by
+    tests/test_similarity.py.)"""
+    import numpy as np
+
+    pm = np.random.RandomState(seed).normal(size=(tables, planes, 64))
+
+    def plane_lit(v):
+        return "[" + ",".join(repr(float(x)) for x in v) + "]"
+
+    subs = []
+    for t in range(tables):
+        bits = " + ".join(
+            f"{1 << p} * (CASE WHEN list_dot_product(e, {plane_lit(pm[t][p])}) > 0 THEN 1 ELSE 0 END)"
+            for p in range(planes)
+        )
+        subs.append(f"SELECT vec_id, e, {t} AS tbl, ({bits}) AS bucket FROM emb")
+    union = "\nUNION ALL\n".join(subs)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), vb AS (
+{union}
+), q AS (
+  SELECT vec_id AS qid, e AS qv FROM emb WHERE vec_id IN ({', '.join(map(str, _KNN_QUERY_IDS))})
+), qb AS (
+  SELECT vb.tbl, vb.bucket FROM vb JOIN q ON vb.vec_id = q.qid
+), kept AS (
+  SELECT DISTINCT v.vec_id
+  FROM vb v JOIN qb
+    ON v.tbl = qb.tbl
+   AND bit_count(xor(CAST(v.bucket AS UBIGINT), CAST(qb.bucket AS UBIGINT))) <= {probes}
+), scored AS (
+  SELECT q.qid, e.vec_id, list_cosine_similarity(q.qv, e.e) AS cos
+  FROM q CROSS JOIN emb e JOIN kept kk ON e.vec_id = kk.vec_id
+), ranked AS (
+  SELECT qid, vec_id, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid AS query_id, vec_id, rn AS rank FROM ranked WHERE rn <= {k}
+"""
+
+
 def _sql_dedup_simhash() -> str:
     """SQL mirror of dedup.simhash_pairs: md5 token hashes (full 64 bits)
     → per-bit ±1 votes over token POSITIONS → 64-bit signature → 4×16-bit
@@ -644,8 +739,10 @@ def _q_rolling_fp_agg(sf_dir: str):
     """Value-verifiable view of the winnowing kernel: per doc, (min, max,
     sum) over the kept fingerprints — scalar columns with an exact DuckDB
     oracle (the polynomial window hash re-expressed in SQL with embedded
-    power literals), pinning the rolling-hash computation end-to-end. The
-    raw list-valued ``rolling_fingerprint`` query stays rows-only."""
+    power literals), pinning the rolling-hash computation end-to-end.
+    (Since round 5 the ``rolling_fingerprint`` query itself is exploded to
+    (doc_id, rank, fp) rows and carries its own oracle; this aggregate
+    view remains as an independent pin of the same kernel.)"""
     from cosmogony_ray.functions.textops import rolling_fingerprint
 
     fp = rolling_fingerprint(_docs_ds(sf_dir))
@@ -1373,6 +1470,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _sql_rolling_fingerprint(),
         "dedup_minhash": _sql_dedup_minhash(),
         "dedup_simhash": _sql_dedup_simhash(),
+        "embedding_dups": _sql_embedding_dups(),
+        "knn_lsh": _sql_knn_lsh(),
         # mirrors mediacodec.synth_media_payload + decode_image: seed from
         # md5(ref), gradient pixel closed form (base + x + 2y + 3c) mod 256
         "media_pixel_stats": r"""
