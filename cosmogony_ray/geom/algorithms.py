@@ -78,6 +78,60 @@ def multipolygon_centroid(mpoly: MultiPolygon) -> tuple[float, float]:
     return cx_sum / a_sum, cy_sum / a_sum
 
 
+def multipolygon_metrics(
+    mpoly: MultiPolygon, want_centroid: bool = True
+) -> tuple[tuple[float, float, float, float], float, tuple[float, float] | None]:
+    """(bbox, area, centroid) in ONE walk: each ring's shoelace cross
+    array is computed once and reused for area AND centroid.
+
+    BIT-EXACT vs the separate multipolygon_bbox / multipolygon_area /
+    multipolygon_centroid calls (pinned by tests/test_geom_properties.py):
+    ``cross = x·yn − xn·y`` over ``ring[:-1]``/``ring[1:]`` is elementwise
+    identical to ring_signed_area's ``x[:-1]·y[1:] − x[1:]·y[:-1]`` on a
+    closed ring, and each per-ring reduction is the same ``np.sum`` over
+    the same values in the same order; accumulation order across rings
+    mirrors the originals. With ``want_centroid=False`` the centroid slot
+    is None (callers with an admin_centre/label node skip that math)."""
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    cx_sum = cy_sum = a_sum = 0.0
+    area_total = 0.0
+    for rings in mpoly:
+        poly_area = 0.0
+        for i, ring in enumerate(rings):
+            x = ring[:-1, 0]
+            y = ring[:-1, 1]
+            xn = ring[1:, 0]
+            yn = ring[1:, 1]
+            cross = x * yn - xn * y
+            raw = 0.5 * float(np.sum(cross))
+            if i == 0:
+                minx = min(minx, ring[:, 0].min())
+                miny = min(miny, ring[:, 1].min())
+                maxx = max(maxx, ring[:, 0].max())
+                maxy = max(maxy, ring[:, 1].max())
+                poly_area = abs(raw)
+            else:
+                poly_area -= abs(raw)
+            if want_centroid and raw != 0.0:
+                cx = float(np.sum((x + xn) * cross)) / (6.0 * raw)
+                cy = float(np.sum((y + yn) * cross)) / (6.0 * raw)
+                w = abs(raw) if i == 0 else -abs(raw)  # holes subtract
+                cx_sum += cx * w
+                cy_sum += cy * w
+                a_sum += w
+        area_total += poly_area
+    bbox = (float(minx), float(miny), float(maxx), float(maxy))
+    if not want_centroid:
+        return bbox, area_total, None
+    if a_sum == 0.0 or not np.isfinite(cx_sum / a_sum) or not np.isfinite(cy_sum / a_sum):
+        pts = np.vstack([rings[0][:-1] for rings in mpoly])
+        centroid = (float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+    else:
+        centroid = (cx_sum / a_sum, cy_sum / a_sum)
+    return bbox, area_total, centroid
+
+
 def normalize_orientation(mpoly: MultiPolygon) -> MultiPolygon:
     """Exterior rings CCW, holes CW (canonical form for WKB output)."""
     out = []
@@ -102,27 +156,38 @@ def assemble_rings(segments: list[np.ndarray]) -> list[np.ndarray]:
     """
     pending = [np.asarray(s, dtype=np.float64) for s in segments if len(s) >= 2]
     rings: list[np.ndarray] = []
+    # endpoint tuples cached per segment: the greedy matcher compares
+    # Python floats (identical semantics to np.array_equal on 2-float
+    # rows, incl. NaN≠NaN) without ufunc dispatch per probe
+    ends = [((s[0, 0], s[0, 1]), (s[-1, 0], s[-1, 1])) for s in pending]
     while pending:
         cur = pending.pop(0)
-        # already closed?
+        head, tail = ends.pop(0)
         progressed = True
-        while not np.array_equal(cur[0], cur[-1]):
+        while head != tail:  # not closed yet
             if not progressed:
                 cur = None
                 break
             progressed = False
-            for j, seg in enumerate(pending):
-                if np.array_equal(seg[0], cur[-1]):
+            for j in range(len(pending)):
+                shead, stail = ends[j]
+                seg = pending[j]
+                if shead == tail:
                     cur = np.vstack([cur, seg[1:]])
-                elif np.array_equal(seg[-1], cur[-1]):
+                    tail = stail
+                elif stail == tail:
                     cur = np.vstack([cur, seg[::-1][1:]])
-                elif np.array_equal(seg[-1], cur[0]):
+                    tail = shead
+                elif stail == head:
                     cur = np.vstack([seg, cur[1:]])
-                elif np.array_equal(seg[0], cur[0]):
+                    head = shead
+                elif shead == head:
                     cur = np.vstack([seg[::-1], cur[1:]])
+                    head = stail
                 else:
                     continue
                 pending.pop(j)
+                ends.pop(j)
                 progressed = True
                 break
         if cur is not None and len(cur) >= 4:

@@ -34,10 +34,8 @@ from ..functions.joins import hash_join
 from ..functions.shuffle import partitioned_map
 from ..geom.algorithms import (
     assemble_rings,
+    multipolygon_metrics,
     build_polygons,
-    multipolygon_area,
-    multipolygon_bbox,
-    multipolygon_centroid,
 )
 from ..geom.wkb import multipolygon_to_wkb
 from ..model import ZONE_SCHEMA, parse_zone_type
@@ -239,16 +237,16 @@ def _build_zone_row(key: tuple, group: pa.Table) -> dict | None:
         return None  # no boundary → zone skipped (lib.rs:78-81)
     inner_rings = assemble_rings(inner_segs)
     mpoly = build_polygons(outer_rings, inner_rings)
-    bbox = multipolygon_bbox(mpoly)
 
     # center: admin_centre else label else NaN-guarded centroid
     # (zone_ext.rs:183-210); center_tags from the same node
     center_row = centre_rows[0] if centre_rows else (label_rows[0] if label_rows else None)
+    bbox, area, centroid = multipolygon_metrics(mpoly, want_centroid=center_row is None)
     if center_row is not None:
         center = (group["lon"][center_row].as_py(), group["lat"][center_row].as_py())
         center_tags = dict(group["tags"][center_row].as_py() or [])
     else:
-        center = multipolygon_centroid(mpoly)
+        center = centroid
         if not (np.isfinite(center[0]) and np.isfinite(center[1])):
             center = (None, None)
         center_tags = {}
@@ -273,7 +271,7 @@ def _build_zone_row(key: tuple, group: pa.Table) -> dict | None:
         "miny": bbox[1],
         "maxx": bbox[2],
         "maxy": bbox[3],
-        "area": multipolygon_area(mpoly),
+        "area": area,
         "is_generated": False,
         "country_code": None,
         "parent": None,
@@ -404,11 +402,18 @@ def _build_way_pack(*tbls: pa.Table) -> dict:
     if isinstance(xs, pa.ChunkedArray):
         xs = xs.combine_chunks()
         ys = ys.combine_chunks()
+    # interleaved (n, 2) coordinate matrix: a member's segment is ONE
+    # contiguous view slice xy[s:e] — no per-member column_stack copy in
+    # the ring-assembly hot loop (43k copies/d8-batch before round 5)
+    xs_np = xs.values.to_numpy(zero_copy_only=False)
+    ys_np = ys.values.to_numpy(zero_copy_only=False)
+    xy = np.empty((xs_np.size, 2), dtype=np.float64)
+    xy[:, 0] = xs_np
+    xy[:, 1] = ys_np
     return {
         "ids": ids[order],
         "offs": xs.offsets.to_numpy(zero_copy_only=False).astype(np.int64),
-        "xs": xs.values.to_numpy(zero_copy_only=False),
-        "ys": ys.values.to_numpy(zero_copy_only=False),
+        "xy": xy,
     }
 
 
@@ -462,7 +467,7 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             return _empty_zone_table()
         w = get_cached(ways_ref)
         nd = get_cached(nodes_ref)
-        woffs, wxs, wys = w["offs"], w["xs"], w["ys"]
+        woffs, wxy = w["offs"], w["xy"]
         mem = batch["members"].combine_chunks()
         flat = mem.flatten()
         roles = pc.struct_field(flat, "role").to_pylist()
@@ -501,7 +506,7 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
                     s, e = woffs[r], woffs[r + 1]
                     if e - s < 2:
                         continue
-                    seg = np.column_stack([wxs[s:e], wys[s:e]])
+                    seg = wxy[s:e]  # contiguous zero-copy view
                     if roles[j] == "inner":
                         inner_segs.append(seg)
                     else:  # outer / enclave / empty role all treated as outer
@@ -527,14 +532,18 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
                 continue  # no boundary → zone skipped (lib.rs:78-81)
             inner_rings = assemble_rings(inner_segs)
             mpoly = build_polygons(outer_rings, inner_rings)
-            bbox = multipolygon_bbox(mpoly)
             center_j = centre_node if centre_node is not None else label_node
+            # one fused walk for bbox/area(/centroid) — bit-exact vs the
+            # separate kernels (multipolygon_metrics docstring)
+            bbox, area, centroid = multipolygon_metrics(
+                mpoly, want_centroid=center_j is None
+            )
             if center_j is not None:
                 ci = int(nidx[center_j])
                 center = (float(nlon[ci]), float(nlat[ci]))
                 center_tags = sorted(ntags[ci].as_py() or [])
             else:
-                center = multipolygon_centroid(mpoly)
+                center = centroid
                 if not (np.isfinite(center[0]) and np.isfinite(center[1])):
                     center = (None, None)
                 center_tags = []
@@ -558,7 +567,7 @@ def _zones_from_relations_fn(ways_ref, nodes_ref):
             cols["miny"].append(bbox[1])
             cols["maxx"].append(bbox[2])
             cols["maxy"].append(bbox[3])
-            cols["area"].append(multipolygon_area(mpoly))
+            cols["area"].append(area)
             cols["is_generated"].append(False)
             cols["country_code"].append(None)
             cols["parent"].append(None)

@@ -98,3 +98,29 @@ def test_area_positive_and_consistent(t):
     mp = [[rect(*bbox)]]
     a = multipolygon_area(mp)
     assert abs(a - (bbox[2] - bbox[0]) * (bbox[3] - bbox[1])) < 1e-6 * max(1, a)
+
+
+@given(rect_coords, rect_coords)
+@settings(max_examples=40, deadline=None)
+def test_metrics_bit_exact_vs_separate_kernels(t1, t2):
+    """multipolygon_metrics (the fused assemble epilogue) must be BIT-
+    identical to the three separate kernels — incl. a holed polygon and a
+    second disjoint polygon."""
+    from cosmogony_ray.geom.algorithms import (
+        multipolygon_area,
+        multipolygon_bbox,
+        multipolygon_centroid,
+        multipolygon_metrics,
+    )
+
+    b1 = _mk(t1)
+    b2 = _mk(t2)
+    # polygon 1 with a centered hole at 1/3 scale; polygon 2 plain
+    hx = (2 * b1[0] + b1[2]) / 3, (2 * b1[1] + b1[3]) / 3, (b1[0] + 2 * b1[2]) / 3, (b1[1] + 2 * b1[3]) / 3
+    mp = [[rect(*b1), rect(*hx)[::-1].copy()], [rect(*b2)]]
+    bbox, area, centroid = multipolygon_metrics(mp)
+    assert bbox == multipolygon_bbox(mp)
+    assert area == multipolygon_area(mp)
+    assert centroid == multipolygon_centroid(mp)
+    bbox2, area2, c2 = multipolygon_metrics(mp, want_centroid=False)
+    assert (bbox2, area2, c2) == (bbox, area, None)
