@@ -140,15 +140,17 @@ def build_geom_pack(zones: rd.Dataset, cfg: EngineConfig | None = None):
             ("bmaxx", pa.float64()),
             ("bmaxy", pa.float64()),
             ("area", pa.float64()),
+            ("cells", pa.list_(pa.int64())),
         ]
     )
+    cells = cfg.cells()
 
     def parse_batch(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["boundary_wkb"]))
         ids = t["osm_id"].to_pylist()
         wkbs = t["boundary_wkb"].to_pylist()
         areas = t["area"].to_numpy(zero_copy_only=False)
-        rows = {k: [] for k in pack_schema.names}
+        rows = {k: [] for k in pack_schema.names if k != "cells"}
         for i, (zid, wkb) in enumerate(zip(ids, wkbs)):
             try:
                 p = PreparedPolygon(multipolygon_from_wkb(wkb))
@@ -165,7 +167,49 @@ def build_geom_pack(zones: rd.Dataset, cfg: EngineConfig | None = None):
             rows["bmaxx"].append(p.bbox[2])
             rows["bmaxy"].append(p.bbox[3])
             rows["area"].append(float(areas[i]))
-        return pa.table(rows, schema=pack_schema)
+        # build-cell covering computed HERE (distributed, from this batch's
+        # bboxes) instead of in the single pack-assembly task — that serial
+        # _grid_arrays/_expand_cells pass was ~1.4 s of the 349k-zone
+        # build's fixed cost (round-5 inclusion-scaling work); the assembly
+        # task now only flattens + argsorts
+        nz = len(rows["osm_id"])
+        cell_lists: pa.Array
+        if nz:
+            bminx = np.asarray(rows["bminx"])
+            bminy = np.asarray(rows["bminy"])
+            bmaxx = np.asarray(rows["bmaxx"])
+            bmaxy = np.asarray(rows["bmaxy"])
+            own_li, ix0s, iy0s, nxs, ccounts = _grid_arrays(
+                cells, bminx, bminy, bmaxx, bmaxy
+            )
+            zidx = np.arange(nz, dtype=np.int64)
+            cnt_z = ccounts[own_li, zidx]
+            offs = np.zeros(nz + 1, dtype=np.int64)
+            np.cumsum(cnt_z, out=offs[1:])
+            vals = np.empty(int(offs[-1]), dtype=np.int64)
+            zrep = np.repeat(zidx, cnt_z)
+            within = np.arange(vals.size, dtype=np.int64) - np.repeat(offs[:-1], cnt_z)
+            li_rep = own_li[zrep]
+            for li, r in enumerate(cells.ladder):
+                m = li_rep == li
+                if not m.any():
+                    continue
+                zm = zrep[m]
+                nx = nxs[li][zm]
+                ix = ix0s[li][zm] + within[m] % nx
+                iy = iy0s[li][zm] + within[m] // nx
+                vals[m] = cells._encode(r, ix, iy)
+            cell_lists = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)), pa.array(vals)
+            )
+        else:
+            cell_lists = pa.array([], type=pa.list_(pa.int64()))
+        out = {k: rows[k] for k in rows}
+        tbl_out = pa.table(
+            {**{k: pa.array(v, type=pack_schema.field(k).type) for k, v in out.items()},
+             "cells": cell_lists.cast(pa.list_(pa.int64()))},
+        )
+        return tbl_out.select(pack_schema.names).cast(pack_schema)
 
     packed = zones.select_columns(["osm_id", "boundary_wkb", "area"]).map_batches(
         parse_batch, batch_format="pyarrow"
@@ -205,28 +249,18 @@ def _assemble_geom_pack(cfg: EngineConfig, pack_schema: pa.Schema, *tbls) -> dic
         "bmaxy": tbl["bmaxy"].to_numpy(zero_copy_only=False),
         "area": tbl["area"].to_numpy(zero_copy_only=False),
     }
-    # build-cell index: each zone's covering at its own resolution, sorted
-    # by cell for binary-search probes (driver-side vectorized — ≤ 64
-    # cells/zone by the coarsening cap, so ≤ 64M rows at the 10^6-zone
-    # scale assumption)
-    cells = cfg.cells()
-    bcell_parts, bzone_parts = [], []
-    if len(counts) > 0:
-        own_li, ix0s, iy0s, nxs, ccounts = _grid_arrays(
-            cells, pack["bminx"], pack["bminy"], pack["bmaxx"], pack["bmaxy"]
-        )
-        for li, r in enumerate(cells.ladder):
-            sel = np.nonzero(own_li == li)[0]
-            if sel.size == 0:
-                continue
-            cell, zrep = _expand_cells(cells, (li, sel), r, ix0s, iy0s, nxs, ccounts)
-            bcell_parts.append(cell)
-            bzone_parts.append(zrep)
-    if bcell_parts:
-        bcell = np.concatenate(bcell_parts)
-        bzone = np.concatenate(bzone_parts)
+    # build-cell index: coverings were computed DISTRIBUTED in parse_batch
+    # (round 5); this task only flattens the list column to (cell, zone)
+    # pairs and argsorts by cell for binary-search probes — O(total cells)
+    # with no per-zone grid math left on the serial path (≤ 64 cells/zone
+    # by the coarsening cap, so ≤ 64M rows at the 10^6-zone assumption)
+    cells_col = tbl["cells"].combine_chunks()
+    bcell = cells_col.flatten().to_numpy(zero_copy_only=False)
+    cell_counts = np.diff(cells_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    bzone = np.repeat(np.arange(len(cell_counts), dtype=np.int64), cell_counts)
+    if bcell.size:
         order = np.argsort(bcell, kind="stable")
-        pack["bcell"] = bcell[order]
+        pack["bcell"] = np.ascontiguousarray(bcell[order])
         pack["bzone"] = bzone[order]
     else:
         pack["bcell"] = np.array([], dtype=np.int64)
