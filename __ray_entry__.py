@@ -794,6 +794,83 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, qref, cref, k=10, nprobe=24)
 
 
+def _q_knn_ivf_fixed(sf_dir: str):
+    """IVF-Flat probe path with the FIXED (data-independent) coarse
+    quantizer, so the partition-pruned probe kernel itself is
+    value-oracle-checked: assignment to 16 seeded unit centroids, each
+    query probes its 6 nearest lists, exact cosine top-10 inside the
+    probed lists. Complements `knn_ivf` (runtime-TRAINED centroids,
+    rows-only) — together they pin both halves of the IVF design."""
+    import ray as _ray
+
+    from cosmogony_ray.functions.similarity import (
+        broadcast_queries,
+        fixed_centroids,
+        knn_ivf,
+    )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qref = broadcast_queries(ds, _KNN_QUERY_IDS, "embedding", "vec_id")
+    cref = _ray.put(fixed_centroids(k=16))
+    return knn_ivf(ds, qref, cref, k=10, nprobe=6)
+
+
+def _sql_knn_ivf_fixed(k: int = 10, n_cent: int = 16, nprobe: int = 6) -> str:
+    """SQL mirror of _q_knn_ivf_fixed: centroid literals from the same
+    seeded draw; assignment = cosine argmax (ties → smallest cid, the
+    np.argmax first-max rule); probe = per-query top-nprobe centroids
+    (cos DESC, cid); candidates = vectors assigned to a probed centroid;
+    exact cosine top-k with the (cos DESC, vec_id) tie-break."""
+    from cosmogony_ray.functions.similarity import fixed_centroids
+
+    cent = fixed_centroids(k=n_cent)
+    rows = ", ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(x)) for x in cent[i])
+        )
+        for i in range(n_cent)
+    )
+    return f"""
+WITH c(cid, cv) AS (VALUES {rows}),
+emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), assign AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY emb.vec_id
+             ORDER BY list_cosine_similarity(emb.e, c.cv) DESC, c.cid
+           ) AS rn
+    FROM emb CROSS JOIN c
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid, e AS qv FROM emb
+  WHERE vec_id IN ({', '.join(map(str, _KNN_QUERY_IDS))})
+), probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN c
+  ) WHERE rn <= {nprobe}
+), scored AS (
+  SELECT q.qid, a.vec_id, list_cosine_similarity(q.qv, a.e) AS cos
+  FROM q
+  JOIN probe p ON p.qid = q.qid
+  JOIN assign a ON a.cid = p.cid
+), ranked AS (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT qid AS query_id, vec_id, rn AS rank FROM ranked WHERE rn <= {k}
+"""
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal span features (REAL pure-numpy BMP/PPM/WAV decode, real
     pixel/sample feature math) over the fixture's interleaved docs —
@@ -1390,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_embeddings": _q_knn_embeddings,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_ivf_fixed": _q_knn_ivf_fixed,
         "user_sessions": _q_user_sessions,
         "media_features": _q_media_features,
         "media_pixel_stats": _q_media_pixel_stats,
@@ -1472,6 +1550,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _sql_dedup_simhash(),
         "embedding_dups": _sql_embedding_dups(),
         "knn_lsh": _sql_knn_lsh(),
+        "knn_ivf_fixed": _sql_knn_ivf_fixed(),
         # mirrors mediacodec.synth_media_payload + decode_image: seed from
         # md5(ref), gradient pixel closed form (base + x + 2y + 3c) mod 256
         "media_pixel_stats": r"""
