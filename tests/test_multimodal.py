@@ -238,3 +238,19 @@ def test_sample_frames_explode(ray_session, mini_lux_dir):
     for (_, _), g in out.groupby(["doc_id", "span_index"]):
         fi = sorted(g["frame_index"])
         assert fi == list(range(0, fi[-1] + 1, 3))
+
+
+def test_synth_payload_byte_goldens():
+    """Byte-level goldens: any change to the codec or the synthesis closed
+    form trips this loudly (the media_pixel_stats SQL oracle depends on
+    these exact bytes)."""
+    import hashlib
+
+    for ref, md5hex, n in [
+        ("media://doc/0.image", "8abb8055559ff480b2437556308d8fdb", 494),
+        ("media://doc/1.image", "47d006a77be941a2def30ca3a9295cb3", 558),
+        ("media://doc/2.audio", "8220fcc5f317ab3f4a1f79c919517022", 688),
+        ("media://store/doc-000000007/3.image?lon=1.5,lat=2.5", "adb5e31f8a1a8fee2da2df322085a6ac", 276),
+    ]:
+        p = synth_media_payload(ref)
+        assert (hashlib.md5(p).hexdigest(), len(p)) == (md5hex, n), ref
