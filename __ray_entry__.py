@@ -446,9 +446,13 @@ def _sql_dedup_minhash() -> str:
     → 64 permutation minima ((x+b)·a mod 2^64 as HUGEINT arithmetic) →
     banded polynomial band hash with xorshift-multiply finalizer (the
     128-bit-safe split multiply) → bucket self-join → true-Jaccard ≥ 50%
-    verify. Bit-exact vs the Ray operator whenever no bucket exceeds
-    LSH_MAX_BUCKET (true at oracle scales; capped buckets emit star pairs
-    the SQL's all-pairs join would expand)."""
+    verify. Short docs (1-2 tokens) hash as the engine's whole-short-doc
+    single shingle; zero-token docs are correctly ABSENT (the engine's
+    verify stage drops every pair touching an empty shingle set, so they
+    never reach the output either). Bit-exact vs the Ray operator
+    whenever no bucket exceeds LSH_MAX_BUCKET (true at oracle scales;
+    capped buckets emit star pairs the SQL's all-pairs join would
+    expand)."""
     from cosmogony_ray.functions.dedup import _perm_params, _poly_consts
 
     NP, BANDS, ROWS = 64, 16, 4
@@ -464,10 +468,19 @@ def _sql_dedup_minhash() -> str:
         for p in range(NP)
     )
     sh_expr = " + ".join(f"{int(C[k])}::HUGEINT * h[i + {k}]" for k in range(3))
+    # engine tokenizer is Arrow utf8_split_whitespace (Unicode White_Space);
+    # \s in RE2 is ASCII-only, so the class below reproduces the exact
+    # White_Space set: ASCII \s + NEL + Zs separators + LS/PS
+    ws = r"[\s\x{0085}\x{2028}\x{2029}\p{Zs}]+"
+    short_expr = (
+        f"CAST(({int(C[0])}::HUGEINT * h[1] + "
+        f"(CASE WHEN m = 2 THEN {int(C[1])}::HUGEINT * h[2] ELSE 0 END)) "
+        f"% {M64} AS UBIGINT) & {MASK61}"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+         list_filter(string_split_regex(lower(text), '{ws}'), x -> x <> '') AS tk
   FROM documents
 ), th AS (
   SELECT doc_id,
@@ -479,6 +492,9 @@ WITH toks AS (
          list_distinct(list_transform(range(1, m - 1),
            i -> CAST(({sh_expr}) % {M64} AS UBIGINT) & {MASK61})) AS s
   FROM th WHERE m >= 3
+  UNION ALL
+  SELECT doc_id, [{short_expr}] AS s
+  FROM th WHERE m IN (1, 2)
 ), shr AS (
   SELECT doc_id, unnest(s) AS x FROM sh
 ), perms AS (
@@ -613,16 +629,18 @@ SELECT qid AS query_id, vec_id, rn AS rank FROM ranked WHERE rn <= {k}
 def _sql_dedup_simhash() -> str:
     """SQL mirror of dedup.simhash_pairs: md5 token hashes (full 64 bits)
     → per-bit ±1 votes over token POSITIONS → 64-bit signature → 4×16-bit
-    band blocking → hamming ≤ 3 via bit_count(xor). Mirrors the
-    LSH_MAX_BUCKET star-verification skew cap exactly with window
-    functions (bucket size / min-doc representative are global per
-    (band, key)), so this is bit-exact at every scale."""
+    band blocking → hamming ≤ 3 via bit_count(xor). Zero-token docs get
+    the engine's sig = 0 and DO pair with each other; the tokenizer class
+    reproduces Arrow's Unicode White_Space splitting (RE2's \\s is
+    ASCII-only). Mirrors the LSH_MAX_BUCKET star-verification skew cap
+    exactly with window functions (bucket size / min-doc representative
+    are global per (band, key)), so this is bit-exact at every scale."""
     from cosmogony_ray.functions.dedup import LSH_MAX_BUCKET
 
     return r"""
 WITH toks AS (
   SELECT doc_id,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+         list_filter(string_split_regex(lower(text), '[\s\x{0085}\x{2028}\x{2029}\p{Zs}]+'), x -> x <> '') AS tk
   FROM documents
 ), tokr AS (
   SELECT doc_id, unnest(tk) AS tok FROM toks
@@ -639,6 +657,9 @@ WITH toks AS (
                        THEN CAST(CAST(1 AS UBIGINT) << CAST(bit AS INT) AS HUGEINT)
                        ELSE 0 END) AS UBIGINT) AS s
   FROM votes GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, CAST(0 AS UBIGINT) AS s
+  FROM toks WHERE coalesce(len(tk), 0) = 0
 ), bands AS (
   SELECT doc_id, b.v AS band,
          (s >> CAST(16 * b.v AS INT)) & 65535 AS key, s,
@@ -682,8 +703,8 @@ SELECT w.doc_id, CAST(r.v AS BIGINT) AS rank, CAST(sh[r.v] AS BIGINT) AS fp
 FROM winh w JOIN generate_series(1, {keep}) AS r(v) ON r.v <= len(w.sh)
 UNION ALL
 SELECT doc_id, CAST(1 AS BIGINT) AS rank,
-       CAST(('0x' || substring(md5(text), 1, 15))::UBIGINT AS BIGINT) AS fp
-FROM documents WHERE length(text) < {window}
+       CAST(('0x' || substring(md5(coalesce(text, '')), 1, 15))::UBIGINT AS BIGINT) AS fp
+FROM documents WHERE text IS NULL OR length(text) < {window}
 """
 
 

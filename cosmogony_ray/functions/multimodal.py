@@ -125,20 +125,15 @@ def fetch_media_bytes(ds: rd.Dataset, batch_size: int = 256) -> rd.Dataset:
 class MediaDecodeActor:
     """Actor-pool decode / feature-extract stage.
 
-    ``__init__`` probes codecs once per actor: PIL when present, else the
-    built-in pure-numpy BMP/PPM/WAV parsers — which are REAL decoders, so
-    ``require_real_codecs=True`` is satisfied in this container (the
-    round-4 stub marker is gone). ``__call__`` decodes per batch and emits
-    features computed from actual pixels / samples."""
+    ``__init__`` records the codec provider once per actor (the built-in
+    pure-numpy BMP/PPM/WAV parsers — REAL decoders, so the round-4
+    require_real_codecs stub knob is gone: decode is always real now and
+    unrecognized containers raise ValueError from the parsers).
+    ``__call__`` decodes per batch and emits features computed from
+    actual pixels / samples."""
 
-    def __init__(self, require_real_codecs: bool = False):
-        try:  # pragma: no cover - PIL absent in this container
-            import PIL.Image  # noqa: F401
-
-            self.codecs = "pil+numpy-builtin"
-        except ImportError:
-            self.codecs = "numpy-builtin"
-        self.require_real_codecs = require_real_codecs  # always satisfiable now
+    def __init__(self):
+        self.codecs = "numpy-builtin"
 
     @staticmethod
     def decode_features(payload: bytes, kind: str) -> np.ndarray:
@@ -175,7 +170,6 @@ def extract_media_features(
     media = fetch_media_bytes(docs, batch_size=batch_size)
     return media.map_batches(
         MediaDecodeActor,
-        fn_constructor_kwargs={"require_real_codecs": True},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

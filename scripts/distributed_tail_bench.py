@@ -86,8 +86,12 @@ def run_leg(num_cpus: int, mode: str) -> dict:
         [sys.executable, "-c", src, str(num_cpus), mode, WORLD_DIR],
         capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"leg {mode}@{num_cpus} failed (rc={out.returncode}):\n{out.stderr[-4000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def run_ceiling() -> float:
@@ -135,7 +139,10 @@ def main():
     sigs = {l["sig"] for l in legs}
     zones = {l["zones"] for l in legs}
     assert len(zones) == 1, f"zone counts diverged: {zones}"
-    equal = len(sigs) == 1
+    # HARD gate, not just a recorded field: this script IS the equality
+    # evidence BASELINE.md cites, so divergent tails must fail the run
+    assert len(sigs) == 1, f"distributed/fused tail outputs diverged: sigs={sigs}"
+    equal = True
 
     def med(vals):
         s = sorted(vals)

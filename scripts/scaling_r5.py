@@ -65,8 +65,10 @@ def build_leg(cpus: int) -> dict:
         [sys.executable, "-c", _BUILD_LEG, str(cpus)],
         capture_output=True, text=True, timeout=1800,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(f"build leg @{cpus} failed (rc={out.returncode}):\n{out.stderr[-4000:]}")
+    return json.loads(lines[-1])
 
 
 def geotag_pair(repl: int) -> dict:
@@ -75,8 +77,10 @@ def geotag_pair(repl: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py"), "--scaling"],
         capture_output=True, text=True, timeout=3600, env=env, cwd=REPO,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(f"geotag pair failed (rc={out.returncode}):\n{out.stderr[-4000:]}")
+    return json.loads(lines[-1])
 
 
 def main():

@@ -120,10 +120,15 @@ def test_synth_exercises_both_image_formats():
 
 
 def test_real_codecs_available():
-    """The round-4 stub marker is gone: require_real_codecs is satisfied
-    by the built-in pure-numpy decoders."""
-    actor = MediaDecodeActor(require_real_codecs=True)
+    """The round-4 stub marker (require_real_codecs) is gone entirely:
+    decode is always the real built-in pure-numpy path."""
+    actor = MediaDecodeActor()
     assert "numpy-builtin" in actor.codecs
+    import inspect
+
+    assert "require_real_codecs" not in inspect.signature(
+        MediaDecodeActor.__init__
+    ).parameters
 
 
 def test_image_features_from_known_pixels():
