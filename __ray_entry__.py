@@ -396,6 +396,15 @@ def _q_text_stats(sf_dir: str):
     return text_stats(_docs_ds(sf_dir))
 
 
+def _q_token_counts(sf_dir: str):
+    """Whitespace + BPE-style-pre-tokenizer token counting (the brief's
+    token-counting family) — identical RE2 patterns on both sides, so the
+    oracle is exact by construction."""
+    from cosmogony_ray.functions.textops import token_counts
+
+    return token_counts(_docs_ds(sf_dir))
+
+
 def _q_quality_class(sf_dir: str):
     from cosmogony_ray.functions.textops import quality_class
 
@@ -1476,6 +1485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "top_customers": _q_top_customers,
         "text_stats": _q_text_stats,
+        "token_counts": _q_token_counts,
         "quality_class": _q_quality_class,
         "lang_id": _q_lang_id,
         "fingerprint_md5": _q_fingerprint,
@@ -1654,6 +1664,15 @@ ORDER BY sum_total_cents DESC, c_custkey DESC
 LIMIT 10
 """,
         "text_stats": f"WITH {_TEXT_STATS_CTE} SELECT doc_id, n_chars, n_tokens, n_punct, n_stop_en FROM stats",
+        # identical RE2 patterns as textops.token_counts / BPE_RE
+        "token_counts": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+       CAST(length(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+         AS BIGINT) AS n_bpe_pieces
+FROM documents
+""",
         "quality_class": f"""
 WITH {_TEXT_STATS_CTE}
 SELECT doc_id,

@@ -164,6 +164,33 @@ def rolling_fingerprint(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# BPE-style pre-tokenizer (the GPT-2 pattern family, lookahead-free so it
+# runs identically under RE2 in Arrow AND DuckDB — RE2 has no lookahead, so
+# the trailing-space refinement `\s+(?!\S)` of the original is dropped):
+# contractions | space-prefixed letter runs | digit runs | other runs | ws
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Per-doc token counting both ways a data pipeline needs it:
+    ``n_ws_tokens`` (whitespace-delimited words) and ``n_bpe_pieces``
+    (BPE-style pre-tokenizer pieces — the budget estimator for LLM
+    training corpora). One vectorized RE2 count per column; the DuckDB
+    oracle mirrors the identical patterns."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.count_substring_regex(txt, r"\S+").cast(pa.int64()),
+                "n_bpe_pieces": pc.count_substring_regex(txt, BPE_RE).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def clean_text(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Training-corpus text normalization (map-side, zero shuffle):
     markup-ish tags stripped to spaces, whitespace collapsed, trimmed,
