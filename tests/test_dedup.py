@@ -132,3 +132,20 @@ def test_apply_dedup_end_to_end(ray_session):
     assert sorted(kept["doc_id"]) == [0] + list(range(50, 60))
     # full row survives (text column intact)
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_token_counts(ray_session):
+    """BPE-style pre-tokenizer piece counts: known strings, both counters."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cosmogony_ray.functions.textops import token_counts
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": ["Hello world", "it's 42 degrees!", ""],
+    })
+    out = token_counts(rd.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert list(out["n_ws_tokens"]) == [2, 3, 0]
+    # "Hello"," world" = 2; "it","'s"," 42"," degrees","!" = 5; "" = 0
+    assert list(out["n_bpe_pieces"]) == [2, 5, 0]
