@@ -327,12 +327,23 @@ def _build_inner(
         with_parents = attach_parents_broadcast(typed, parents_ref)
         _tick("parents")
     else:
+        # Distributed tail: ancestors join → typing → parents join over the
+        # full zone table. A "thin tail" variant (all computation on thin
+        # keyed columns + ONE final full-table attach join) was built and
+        # MEASURED SLOWER in round 5 — interleaved A/B at d10/32 CPUs:
+        # thin 103/119/192 s vs this path's 81/83/92 s. At this world size
+        # hash-join cost is ROW-dominated (per-partition merge machinery +
+        # the sort-based exchange), not payload-dominated, so trading two
+        # full-table joins for two thin joins PLUS a third full-table join
+        # loses. Revisit only if the join kernel itself gets cheaper.
         from ..stages.hierarchy import meta_table_to_dict
 
         zones_anc = attach_ancestors(zones, edges)
         typed = type_zones(zones_anc, cfg, finder, typer=typer).materialize()
+        _tick("typing(dist)")
         meta = build_zone_meta(typed)
         parents = select_parents(edges, meta_table_to_dict(meta))
+        _tick("parents(dist)")
         with_parents = attach_parents(typed, parents)
 
     if not cfg.disable_voronoi:

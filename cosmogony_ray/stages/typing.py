@@ -49,14 +49,19 @@ def _collect_ancestors(key: tuple, group: pa.Table) -> pa.Table:
     )
 
 
-def attach_ancestors(zones: rd.Dataset, edges: rd.Dataset) -> rd.Dataset:
+def attach_ancestors(
+    zones: rd.Dataset, edges: rd.Dataset, left_schema: pa.Schema | None = None
+) -> rd.Dataset:
+    """Pass ``left_schema`` when joining a THIN projection of the zone
+    table (the round-5 distributed tail) — defaulting to ZONE_SCHEMA would
+    make the join pad every missing zone column with nulls."""
     anc = grouped_map(edges, ["child"], _collect_ancestors, empty_schema=_ANC_SCHEMA)
     return hash_join(
         zones,
         anc,
         "osm_id",
         how="left",
-        left_schema=ZONE_SCHEMA,
+        left_schema=left_schema or ZONE_SCHEMA,
         right_schema=pa.schema([("osm_id", pa.string()), ("ancestors", ANCESTORS_T)]),
     )
 
