@@ -207,3 +207,27 @@ def test_vectorize_band_rows_one_extreme_halo(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["min_px"], r["min_py"], r["max_px"], r["max_py"], r["n_pixels"]) == (0, 0, 1, 3, 8)
+
+
+def test_vectorize_driver_cc_equals_distributed(ray_session):
+    """The round-5 driver union-find fast path must produce IDENTICAL
+    regions to the distributed large-star/small-star CC on the same
+    raster (driver_cc_max_edges=0 forces the distributed path)."""
+    import numpy as np
+
+    from cosmogony_ray.stages.raster import vectorize_raster
+
+    rng = np.random.RandomState(11)
+    grid = ["".join(rng.choice(list("abc"), size=24)) for _ in range(24)]
+    fast = (
+        vectorize_raster(_raster_from_grid(grid), width=24, band_rows=4)
+        .to_pandas().sort_values("region_id").reset_index(drop=True)
+    )
+    dist = (
+        vectorize_raster(
+            _raster_from_grid(grid), width=24, band_rows=4, driver_cc_max_edges=0
+        )
+        .to_pandas().sort_values("region_id").reset_index(drop=True)
+    )
+    assert fast.equals(dist)
+    assert len(fast) > 10  # random grid → many regions
