@@ -369,6 +369,7 @@ def minhash_lsh_pairs(
         pairs,
         docs_a,
         "doc_a",
+        right_unique=True,  # one text row per doc id
         left_schema=_PAIR_SCHEMA,
         right_schema=pa.schema([("doc_a", pa.int64()), ("text_a", pa.string())]),
     )
@@ -376,6 +377,7 @@ def minhash_lsh_pairs(
         j1,
         docs_b,
         "doc_b",
+        right_unique=True,  # one text row per doc id
         left_schema=pa.schema(
             [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("text_a", pa.string())]
         ),

@@ -267,6 +267,7 @@ def attach_parents(typed_zones: rd.Dataset, parents: rd.Dataset) -> rd.Dataset:
         parents,
         "osm_id",
         how="left",
+        right_unique=True,  # one best parent per child (select_parents)
         left_schema=lschema,
         right_schema=_PARENT_SCHEMA,
     )

@@ -353,6 +353,7 @@ def vectorize_raster(
         lbl_renamed,
         "run_id",
         how="left",
+        right_unique=True,  # one label row per run
         left_schema=pa.schema(
             [(f.name, f.type) for f in _RUN_SCHEMA if f.name not in ("band", "ghost")]
         ),

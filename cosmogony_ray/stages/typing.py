@@ -61,6 +61,7 @@ def attach_ancestors(
         anc,
         "osm_id",
         how="left",
+        right_unique=True,  # one ancestors row per child by construction
         left_schema=left_schema or ZONE_SCHEMA,
         right_schema=pa.schema([("osm_id", pa.string()), ("ancestors", ANCESTORS_T)]),
     )

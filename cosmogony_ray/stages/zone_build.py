@@ -646,6 +646,7 @@ def assemble_zones_distributed(
         way_pts,
         node_coords,
         "node_id",
+        right_unique=True,  # one coordinate row per node id
         left_schema=pa.schema(
             [("way_id", pa.int64()), ("node_id", pa.int64()), ("pos", pa.int32())]
         ),
@@ -723,6 +724,7 @@ def assemble_zones_distributed(
             batch_format="pyarrow",
         ),
         "node_id",
+        right_unique=True,  # one node row per node id
         left_schema=pa.schema(
             [
                 ("rel_id", pa.int64()),
