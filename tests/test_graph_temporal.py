@@ -456,3 +456,29 @@ def test_sliding_total_mass_is_k_times_tumbling(ray_session):
     ).to_pandas()
     assert sli["n"].sum() == 3 * tum["n"].sum() == 3 * 500
     assert sli["sx"].sum() == 3 * tum["sx"].sum()
+
+
+def test_hash_join_right_unique(ray_session):
+    """right_unique fast path: equal results to the general kernel, and a
+    loud error when the uniqueness claim is violated."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cosmogony_ray.functions.joins import hash_join
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3], type=pa.int64()), "v": ["a", "b", "c", "d"]})
+    right = pa.table({"k": pa.array([2, 3, 9], type=pa.int64()), "w": ["x", "y", "z"]})
+    for how in ("left", "inner"):
+        slow = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", how=how
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        fast = hash_join(
+            rd.from_arrow(left), rd.from_arrow(right), "k", how=how, right_unique=True
+        ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        assert slow.equals(fast), how
+    dup = pa.table({"k": pa.array([2, 2], type=pa.int64()), "w": ["x", "y"]})
+    with pytest.raises(Exception, match="duplicate"):
+        hash_join(
+            rd.from_arrow(left), rd.from_arrow(dup), "k", how="left", right_unique=True
+        ).materialize()
