@@ -39,9 +39,18 @@ def tags_get(tags: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
 def materialized_count(ds) -> int:
     """Row count of a MATERIALIZED dataset without launching a streaming
     executor — ``Dataset.count()`` spins one up (AggregateNumRows) and that
-    executor intermittently stalled on this host."""
+    executor intermittently stalled on this host. Prefers the block
+    METADATA count (no block fetch at all — on a multi-node cluster the
+    ref-based fallback would ship every block to the caller just to count
+    rows); falls back to fetching refs only when metadata is absent."""
     import ray
 
+    try:  # metadata fast path (private but stable across Ray 2.x)
+        cnt = ds._meta_count()
+        if cnt is not None:
+            return int(cnt)
+    except Exception:
+        pass
     return sum(t.num_rows for t in ray.get(ds.to_arrow_refs()))
 
 

@@ -300,7 +300,12 @@ def minhash_lsh_pairs(
     ``LSH_MAX_BUCKET`` — star pairs above the cap, the standard LSH skew
     guard), pair dedup, then the verify stage joins candidate pairs back to
     the text column (two hash joins) and re-tokenizes INSIDE the stage —
-    nothing corpus-sized is ever collected on the driver."""
+    nothing corpus-sized is ever collected on the driver.
+
+    Precondition: ``doc_id`` values are UNIQUE in ``ds`` (the documents
+    contract). The text-attach joins declare it (``right_unique=True``) so
+    a corrupted corpus with a repeated doc_id fails LOUDLY here rather
+    than silently double-counting pairs downstream."""
     from .joins import hash_join
     from .shuffle import partitioned_map
 

@@ -106,6 +106,17 @@ def hash_join(
         lmask = side == 0
         lt = g.filter(pa.array(lmask)).select(lcols)
         rt = g.filter(pa.array(~lmask)).select([key] + rcols)
+        if right_unique and rt.num_rows:
+            # checked BEFORE the empty-left early-return so a violated
+            # uniqueness claim raises on the first run that sees the
+            # partition, not on some later run whose left side happens to
+            # reference it; mode="all" counts null keys too (count_distinct
+            # defaults to only_valid, which would miscount [1, 2, null])
+            if pc.count_distinct(rt[key], mode="all").as_py() != rt.num_rows:
+                raise ValueError(
+                    f"hash_join(right_unique=True): duplicate {key!r} keys "
+                    "on the right side"
+                )
         if lt.num_rows == 0:
             return out_schema.empty_table()
         if how in ("semi", "anti"):
@@ -120,13 +131,7 @@ def hash_join(
             keep = matched if how == "semi" else pc.invert(matched)
             return lt.filter(keep)
         if right_unique:
-            rk = rt[key]
-            if rt.num_rows and pc.count_distinct(rk).as_py() != rt.num_rows:
-                raise ValueError(
-                    f"hash_join(right_unique=True): duplicate {key!r} keys "
-                    "on the right side"
-                )
-            ri = pc.index_in(lt[key], value_set=rk.combine_chunks())
+            ri = pc.index_in(lt[key], value_set=rt[key].combine_chunks())
             cols = {c: lt[c] for c in lcols}
             if how == "inner":
                 keep = pc.is_valid(ri)

@@ -261,7 +261,10 @@ def _driver_cc_labels(edges: pa.Table) -> pa.Table:
     graph → the identical (node, cluster_id = component-minimum) contract
     as functions.graph.connected_components, one row per node appearing in
     the edge list. Path-halving find + min-root union keeps the canonical
-    minimum invariant; nodes are unique-sorted so index order == id order."""
+    minimum invariant; nodes are unique-sorted so index order == id order.
+    (The per-band dict union-find in _band_edges shares the same min-root
+    contract — any canonicalization change must land in BOTH and in
+    functions.graph, or the fast==distributed parity test breaks.)"""
     u = edges["u"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = edges["v"].to_numpy(zero_copy_only=False).astype(np.int64)
     if u.size == 0:

@@ -52,9 +52,12 @@ def _collect_ancestors(key: tuple, group: pa.Table) -> pa.Table:
 def attach_ancestors(
     zones: rd.Dataset, edges: rd.Dataset, left_schema: pa.Schema | None = None
 ) -> rd.Dataset:
-    """Pass ``left_schema`` when joining a THIN projection of the zone
-    table (the round-5 distributed tail) — defaulting to ZONE_SCHEMA would
-    make the join pad every missing zone column with nulls."""
+    """``left_schema`` lets a caller join a THIN projection of the zone
+    table (defaulting to ZONE_SCHEMA would make the join pad every missing
+    zone column with nulls). No in-tree caller passes it today — the
+    round-5 thin-tail experiment that used it was measured slower and
+    reverted (see pipelines/cosmogony.py) — but the knob is the correct
+    seam for any future projected-join caller."""
     anc = grouped_map(edges, ["child"], _collect_ancestors, empty_schema=_ANC_SCHEMA)
     return hash_join(
         zones,
